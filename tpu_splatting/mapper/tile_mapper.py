@@ -1,0 +1,340 @@
+"""Tile mapping: assign depth-sorted gaussians to image tiles (pure jnp).
+
+TPU-native re-design of the reference tile mapper
+(/root/reference/taichi_splatting/mapper/tile_mapper.py:27-225 and
+taichi_lib/grid_query.py:9-93).  The reference pipeline is:
+
+  per-gaussian OBB tile count -> CUB exclusive scan (total to CPU!) ->
+  dynamic allocation -> key-expansion kernel -> CUB radix sort (48/32-bit
+  keys) -> range extraction.
+
+That shape cannot exist under XLA (host sync + dynamic allocation), so this
+implementation is re-architected around **static capacities + masks**
+(SURVEY.md §7):
+
+* Each gaussian tests a fixed ``tile_window``^2 candidate window of tiles
+  against its oriented ellipse (the separating-axis OBB test of
+  grid_query.py:30-43, reduced to closed interval form: for an affine map,
+  the projection of a tile onto an ellipse axis is ``center +- extent`` with
+  a *per-gaussian constant* extent, so no corner expansion is needed).
+  Gaussians spanning more tiles are routed to a secondary "big" path with a
+  wider window and a fixed capacity — overflow is counted and reported, never
+  silently mis-rendered as long as ``num_overflow == 0``.
+
+* Overlaps are scattered into a fixed-capacity buffer and sorted by
+  ``(tile_id, depth)`` with a two-operand lexicographic ``lax.sort`` —
+  replacing the 64-bit CUB radix sort without 64-bit keys.
+
+* Per-tile segments are then re-laid-out into **chunk-aligned** form: every
+  tile's overlap list is padded to a multiple of ``chunk_size`` (null
+  entries have alpha 0 => compositing no-ops) and every tile owns at least
+  one chunk.  This gives the Pallas rasterizer a grid of fixed-size chunks,
+  each belonging to exactly one tile, so the whole forward/backward is a
+  flash-attention-style pipelined scan with no gather inside the kernel.
+
+Everything is forward-only / non-differentiable, matching the reference
+(tile mapping runs under ``torch.no_grad``, tile_mapper.py:181).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data_types import RasterConfig
+from ..lib import gaussian2d as g2d
+
+
+def pad_to_tile(image_size: Tuple[int, int], tile_size: int):
+  """Round an image size up to a tile multiple (tile_mapper.py:20-24)."""
+  return tuple(int(math.ceil(x / tile_size) * tile_size) for x in image_size)
+
+
+def tile_shape(image_size: Tuple[int, int], tile_size: int) -> Tuple[int, int]:
+  """(tiles_wide, tiles_high) for an image size."""
+  w, h = pad_to_tile(image_size, tile_size)
+  return w // tile_size, h // tile_size
+
+
+def default_max_overlaps(n: int, image_size: Tuple[int, int],
+                         config: RasterConfig) -> int:
+  """Heuristic static overlap capacity: ~8 overlaps per gaussian, at least
+  a few chunks per tile, rounded to the chunk size."""
+  tw, th = tile_shape(image_size, config.tile_size)
+  cap = max(8 * n, 4 * tw * th * config.chunk_size, 1 << 16)
+  g = config.chunk_size
+  return ((cap + g - 1) // g) * g
+
+
+@dataclass(frozen=True)
+class TileMapping:
+  """Static-shape tile mapping result (pytree; sizes are static metadata).
+
+  API-parity fields (reference tile_mapper.py:216-219):
+    overlap_to_point: (P,) i32 — point index per overlap, sorted by
+      (tile, depth); padding entries are ``num_points`` (one past the end).
+    tile_ranges: (T, 2) i32 — [start, end) into the sorted overlap list.
+
+  TPU-specific chunk-aligned layout for the Pallas rasterizer:
+    point_id_chunked: (A,) i32 — point index per aligned overlap slot;
+      null slots are ``num_points``.
+    chunk_to_tile: (K,) i32 — owning tile of each chunk; dummy chunks = T.
+    chunk_src: (K,) i32 — input-block index for DMA (dummy chunks clamp to
+      the last real chunk so their loads are free).
+    num_overflow: () i32 — overlaps dropped due to capacity (0 == exact).
+  """
+  overlap_to_point: jnp.ndarray
+  tile_ranges: jnp.ndarray
+  point_id_chunked: jnp.ndarray
+  chunk_to_tile: jnp.ndarray
+  chunk_src: jnp.ndarray
+  num_overflow: jnp.ndarray
+
+  # static metadata
+  num_points: int
+  num_tiles: int
+  tiles_wide: int
+  tiles_high: int
+  chunk_size: int
+
+  @property
+  def num_chunks(self) -> int:
+    return self.chunk_to_tile.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    TileMapping,
+    data_fields=["overlap_to_point", "tile_ranges", "point_id_chunked",
+                 "chunk_to_tile", "chunk_src", "num_overflow"],
+    meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
+                 "chunk_size"])
+
+
+def _obb_axes(axis, sigma, gscale, tile_size):
+  """Rows of the image->ellipse transform plus per-axis tile half-extents.
+
+  inv_basis rows are ``axis_i / (sigma_i * gscale)`` (grid_query.py:83);
+  the projection of a tile onto row u covers ``u . center +- e`` with
+  ``e = (|u_x| + |u_y|) * tile_size / 2``.
+  """
+  scale = jnp.maximum(sigma * gscale[:, None], 1e-12)
+  u1 = axis / scale[:, 0:1]
+  u2 = g2d.perp(axis) / scale[:, 1:2]
+  e1 = (jnp.abs(u1[:, 0]) + jnp.abs(u1[:, 1])) * (tile_size * 0.5)
+  e2 = (jnp.abs(u2[:, 0]) + jnp.abs(u2[:, 1])) * (tile_size * 0.5)
+  return u1, u2, e1, e2
+
+
+def _tile_bounds(mean, axis, sigma, gscale, image_size, tile_size):
+  """Conservative tile range of each gaussian (grid_query.py:9-27)."""
+  v2 = g2d.perp(axis)
+  lower, upper = g2d.ellipse_bounds(
+      mean, axis * (sigma[:, 0] * gscale)[:, None],
+      v2 * (sigma[:, 1] * gscale)[:, None])
+
+  max_tile = (jnp.asarray(image_size, jnp.int32) - 1) // tile_size
+  min_tile = jnp.maximum(jnp.floor(lower / tile_size).astype(jnp.int32), 0)
+  max_tile_b = jnp.ceil(upper / tile_size).astype(jnp.int32)
+  max_tile_b = jnp.minimum(jnp.maximum(max_tile_b, min_tile + 1), max_tile + 1)
+  return min_tile, max_tile_b
+
+
+def _candidate_counts_and_hits(mean, u1, u2, e1, e2, min_tile, span, valid,
+                               window: int, tile_size: int, tiles_wide: int):
+  """Test a window^2 candidate grid per gaussian.
+
+  Returns (hit (N, window^2) bool, tile_id (N, window^2) i32).
+  Candidate (a, b) covers tile (min_tile + (b, a)); out-of-span candidates
+  miss.
+  """
+  offs = jnp.arange(window, dtype=jnp.int32)
+  off_x = jnp.tile(offs, window)            # fastest-varying x
+  off_y = jnp.repeat(offs, window)
+
+  tile_x = min_tile[:, 0:1] + off_x[None, :]          # (N, W^2)
+  tile_y = min_tile[:, 1:2] + off_y[None, :]
+  in_span = (off_x[None, :] < span[:, 0:1]) & (off_y[None, :] < span[:, 1:2])
+
+  # tile centre relative to the gaussian mean
+  cx = (tile_x.astype(mean.dtype) + 0.5) * tile_size - mean[:, 0:1]
+  cy = (tile_y.astype(mean.dtype) + 0.5) * tile_size - mean[:, 1:2]
+
+  t1 = u1[:, 0:1] * cx + u1[:, 1:2] * cy
+  t2 = u2[:, 0:1] * cx + u2[:, 1:2] * cy
+
+  hit = ((jnp.abs(t1) <= 1.0 + e1[:, None]) & (jnp.abs(t2) <= 1.0 + e2[:, None])
+         & in_span & valid[:, None])
+  tile_id = tile_x + tile_y * tiles_wide
+  return hit, tile_id
+
+
+@partial(jax.jit,
+         static_argnames=("image_size", "config", "max_overlaps",
+                          "use_depth16"))
+def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
+                 image_size: Tuple[int, int], config: RasterConfig,
+                 max_overlaps: int | None = None,
+                 use_depth16: bool = False) -> TileMapping:
+  """Map packed 2D gaussians to depth-sorted per-tile overlap lists.
+
+  Args mirror the reference map_to_tiles (tile_mapper.py:203-225):
+    gaussians: (N, 7) packed gaussians.
+    depth: (N,) or (N, 1) depths for sorting (NDC, non-negative); entries
+      <= 0 mark culled points (projection's sentinel).
+    image_size: (width, height) static.
+    config: RasterConfig (static).
+    max_overlaps: static overlap capacity (default: heuristic).
+    use_depth16: quantise depth keys to 16 bits (tile_mapper.py:49-66).
+  """
+  n = gaussians.shape[0]
+  depth = depth.reshape(n)
+  ts = config.tile_size
+  tw, th = tile_shape(image_size, ts)
+  num_tiles = tw * th
+  g = config.chunk_size
+  padded_size = pad_to_tile(image_size, ts)
+
+  if max_overlaps is None:
+    max_overlaps = default_max_overlaps(n, image_size, config)
+  p_cap = max_overlaps
+
+  mean, axis, sigma, alpha = g2d.unpack_g2d(gaussians)
+  gscale = g2d.gaussian_scale(alpha, config.alpha_threshold)
+  valid = (alpha > config.alpha_threshold) & (depth > 0) & (gscale > 0)
+
+  u1, u2, e1, e2 = _obb_axes(axis, sigma, gscale, ts)
+  min_tile, max_tile = _tile_bounds(mean, axis, sigma, gscale, padded_size, ts)
+  span = max_tile - min_tile
+
+  w_small = config.tile_window
+  is_big = valid & jnp.any(span > w_small, -1)
+  small_valid = valid & ~is_big
+
+  hit_s, tid_s = _candidate_counts_and_hits(
+      mean, u1, u2, e1, e2, min_tile, span, small_valid, w_small, ts, tw)
+  counts_small = hit_s.sum(-1, dtype=jnp.int32)
+
+  # ---- big-gaussian path: fixed capacity, wider window -------------------
+  b_cap = config.big_capacity
+  w_big = config.big_tile_window
+  big_idx, = jnp.nonzero(is_big, size=b_cap, fill_value=n)
+  big_present = big_idx < n
+  big_overflow = jnp.maximum(is_big.sum(dtype=jnp.int32) - b_cap, 0)
+
+  def gather_pad(x, fill=0.0):
+    return jnp.concatenate(
+        [x, jnp.full((1, *x.shape[1:]), fill, x.dtype)], 0)[big_idx]
+
+  mean_b = gather_pad(mean)
+  u1_b, u2_b = gather_pad(u1), gather_pad(u2)
+  e1_b, e2_b = gather_pad(e1[:, None])[:, 0], gather_pad(e2[:, None])[:, 0]
+  min_tile_b = gather_pad(min_tile.astype(jnp.int32))
+  # clamp the big span to its window (beyond-enormous gaussians are cropped
+  # and counted in num_overflow via span_clipped)
+  span_b_full = gather_pad(span.astype(jnp.int32))
+  span_b = jnp.minimum(span_b_full, w_big)
+  span_clipped = jnp.any(span_b_full > w_big, -1) & big_present
+
+  hit_b, tid_b = _candidate_counts_and_hits(
+      mean_b, u1_b, u2_b, e1_b, e2_b, min_tile_b, span_b, big_present,
+      w_big, ts, tw)
+  counts_big = hit_b.sum(-1, dtype=jnp.int32)
+
+  # ---- offsets + scatter into the fixed-capacity overlap buffer ----------
+  counts_all = jnp.concatenate([counts_small, counts_big])
+  offsets = jnp.concatenate(
+      [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all, dtype=jnp.int32)])
+  total = offsets[-1]
+  num_overflow = (jnp.maximum(total - p_cap, 0) + big_overflow
+                  + span_clipped.sum(dtype=jnp.int32))
+
+  def scatter_candidates(hit, tid, point_id, base_offsets, tile_buf, pid_buf):
+    rank = jnp.cumsum(hit, -1, dtype=jnp.int32) - hit.astype(jnp.int32)
+    pos = base_offsets[:, None] + rank
+    pos = jnp.where(hit, pos, p_cap)          # dropped (mode="drop")
+    pos_f = pos.reshape(-1)
+    tile_buf = tile_buf.at[pos_f].set(
+        tid.reshape(-1), mode="drop", indices_are_sorted=False,
+        unique_indices=True)
+    pid_buf = pid_buf.at[pos_f].set(
+        jnp.broadcast_to(point_id[:, None], tid.shape).reshape(-1),
+        mode="drop", unique_indices=True)
+    return tile_buf, pid_buf
+
+  tile_buf = jnp.full((p_cap,), num_tiles, jnp.int32)     # sentinel: dummy
+  pid_buf = jnp.full((p_cap,), n, jnp.int32)
+
+  point_ids = jnp.arange(n, dtype=jnp.int32)
+  tile_buf, pid_buf = scatter_candidates(
+      hit_s, tid_s, point_ids, offsets[:n], tile_buf, pid_buf)
+  tile_buf, pid_buf = scatter_candidates(
+      hit_b, tid_b, big_idx.astype(jnp.int32), offsets[n:n + b_cap],
+      tile_buf, pid_buf)
+
+  # ---- sort by (tile, depth) ---------------------------------------------
+  depth_ext = jnp.concatenate(
+      [depth.astype(jnp.float32), jnp.full((1,), jnp.inf, jnp.float32)])
+  d = depth_ext[pid_buf]
+  if use_depth16:
+    depth_key = jnp.clip(d, 0.0, 1.0)
+    depth_key = (depth_key * 65535.0).astype(jnp.int32)
+    depth_key = jnp.where(jnp.isinf(d), jnp.int32(1 << 30), depth_key)
+  else:
+    # non-negative float bitcast to int preserves order (tile_mapper.py:40-42)
+    depth_key = jax.lax.bitcast_convert_type(d, jnp.int32)
+
+  sorted_tile, _, overlap_to_point = jax.lax.sort(
+      (tile_buf, depth_key, pid_buf), num_keys=2)
+
+  # ---- per-tile ranges (reference find_ranges_kernel, :92-112) ------------
+  tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+  starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+  ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+  tile_ranges = jnp.stack([starts, ends], -1)
+  counts_t = ends - starts
+
+  # ---- chunk-aligned re-layout --------------------------------------------
+  aligned_counts = jnp.maximum((counts_t + g - 1) // g, 1) * g
+  aligned_offsets = jnp.concatenate(
+      [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts, dtype=jnp.int32)])
+
+  a_cap = p_cap + num_tiles * g            # static aligned capacity
+  num_chunks = a_cap // g
+
+  slot = jnp.arange(a_cap, dtype=jnp.int32)
+  slot_tile = jnp.searchsorted(aligned_offsets, slot, side="right"
+                               ).astype(jnp.int32) - 1
+  slot_tile_c = jnp.minimum(slot_tile, num_tiles - 1)
+  r = slot - aligned_offsets[slot_tile_c]
+  slot_valid = (slot_tile < num_tiles) & (r < counts_t[slot_tile_c])
+  src = jnp.clip(starts[slot_tile_c] + r, 0, p_cap - 1)
+  point_id_chunked = jnp.where(slot_valid, overlap_to_point[src], n)
+
+  chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * g
+  chunk_to_tile = jnp.searchsorted(aligned_offsets, chunk_starts,
+                                   side="right").astype(jnp.int32) - 1
+  chunk_to_tile = jnp.where(chunk_to_tile >= num_tiles, num_tiles,
+                            chunk_to_tile)
+
+  num_real_chunks = jnp.maximum(aligned_offsets[-1] // g, 1)
+  chunk_src = jnp.minimum(jnp.arange(num_chunks, dtype=jnp.int32),
+                          num_real_chunks - 1)
+
+  return TileMapping(
+      overlap_to_point=overlap_to_point,
+      tile_ranges=tile_ranges,
+      point_id_chunked=point_id_chunked,
+      chunk_to_tile=chunk_to_tile,
+      chunk_src=chunk_src,
+      num_overflow=num_overflow,
+      num_points=n,
+      num_tiles=num_tiles,
+      tiles_wide=tw,
+      tiles_high=th,
+      chunk_size=g,
+  )
