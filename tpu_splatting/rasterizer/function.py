@@ -4,11 +4,14 @@ TPU-native equivalent of the reference autograd wrapper
 (/root/reference/taichi_splatting/rasterizer/function.py:28-165).  Notable
 design differences:
 
-* **Gradient routing.** The custom_vjp wraps only the chunk-domain Pallas
-  pair; the (differentiable) gather from point arrays into the chunk-aligned
-  layout happens outside it, so XLA's gather-transpose performs the
-  per-point gradient reduction (the reference uses warp-reduced atomics,
-  backward.py:199-224).
+* **Gradient routing & memory.** The custom_vjp boundary takes the N-sized
+  point arrays; the gather into the chunk-aligned overlap layout happens
+  inside and is *recomputed* in the backward pass (rematerialisation) rather
+  than saved — the A-sized chunked buffers exist only transiently, so the
+  fwd+bwd peak memory is the same as forward-only.  Per-overlap gradients
+  are written contiguously by the backward kernel (no atomics — the
+  reference uses warp-reduced atomics, backward.py:199-224) and
+  segment-summed to points.
 
 * **image_alpha is differentiable.** A constant-one feature channel is
   appended internally, so the alpha image is just another composited
@@ -30,7 +33,7 @@ design differences:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -54,44 +57,76 @@ def _float0(x):
   return np.zeros(x.shape, jax.dtypes.float0)
 
 
+def _gather_chunked(gaussians2d, features, pid, n, f):
+  """Gather N-sized point arrays into the chunk-aligned overlap layout.
+
+  Null slots (pid == n) read an all-zero row (alpha 0 -> compositing no-op)
+  with a constant-one alpha-feature channel.
+  """
+  dtype = gaussians2d.dtype
+  pts_ext = jnp.concatenate([gaussians2d, jnp.zeros((1, 7), dtype)], 0)
+  pts_chunked = jnp.concatenate(
+      [pts_ext[pid], jnp.zeros((pid.shape[0], 1), dtype)], -1)   # (A, 8)
+
+  feats_ext = jnp.concatenate([
+      jnp.concatenate([features, jnp.ones((n, 1), features.dtype)], -1),
+      jnp.zeros((1, f + 1), features.dtype).at[0, f].set(1.0),
+  ], 0)
+  feats_chunked = feats_ext[pid]                                  # (A, F+1)
+  return pts_chunked, feats_chunked
+
+
 @lru_cache(maxsize=None)
 def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
-                     num_points: int):
+                     num_points: int, feature_size: int):
   """Cached custom_vjp rasterizer specialised on static shape/config
   (the jit analogue of the reference's @cache kernel factories,
   function.py:28-40)."""
+  n, f = num_points, feature_size
+
+  def _forward(gaussians2d, features, chunk_to_tile, chunk_src,
+               point_id_chunked):
+    pts_chunked, feats_chunked = _gather_chunked(
+        gaussians2d, features, point_id_chunked, n, f)
+    return kernels.forward(pts_chunked, feats_chunked, chunk_to_tile,
+                           chunk_src, config, num_tiles, tiles_wide)
 
   @jax.custom_vjp
-  def raster(pts_chunked, feats_chunked, probe, chunk_to_tile, chunk_src,
+  def raster(gaussians2d, features, probe, chunk_to_tile, chunk_src,
              point_id_chunked):
-    image_tiled, vis_chunked = kernels.forward(
-        pts_chunked, feats_chunked, chunk_to_tile, chunk_src,
-        config, num_tiles, tiles_wide)
-    return image_tiled, vis_chunked
+    return _forward(gaussians2d, features, chunk_to_tile, chunk_src,
+                    point_id_chunked)
 
-  def fwd(pts_chunked, feats_chunked, probe, chunk_to_tile, chunk_src,
+  def fwd(gaussians2d, features, probe, chunk_to_tile, chunk_src,
           point_id_chunked):
-    image_tiled, vis_chunked = kernels.forward(
-        pts_chunked, feats_chunked, chunk_to_tile, chunk_src,
-        config, num_tiles, tiles_wide)
-    residuals = (pts_chunked, feats_chunked, image_tiled, chunk_to_tile,
+    image_tiled, vis_chunked = _forward(
+        gaussians2d, features, chunk_to_tile, chunk_src, point_id_chunked)
+    residuals = (gaussians2d, features, image_tiled, chunk_to_tile,
                  chunk_src, point_id_chunked)
     return (image_tiled, vis_chunked), residuals
 
   def bwd(residuals, cotangents):
-    (pts_chunked, feats_chunked, image_tiled, chunk_to_tile, chunk_src,
+    (gaussians2d, features, image_tiled, chunk_to_tile, chunk_src,
      point_id_chunked) = residuals
     g_image_tiled, _g_vis = cotangents   # visibility is non-differentiable
+
+    # rematerialise the chunked gather (memory: transient only)
+    pts_chunked, feats_chunked = _gather_chunked(
+        gaussians2d, features, point_id_chunked, n, f)
 
     g_pts, g_feats, heur = kernels.backward(
         pts_chunked, feats_chunked, image_tiled, g_image_tiled,
         chunk_to_tile, chunk_src, config, num_tiles, tiles_wide)
 
-    # heuristics surface as the probe's cotangent, reduced to points
-    heur_n = jax.ops.segment_sum(
-        heur, point_id_chunked, num_segments=num_points + 1)[:num_points]
+    # reduce per-overlap gradients to points (replaces the reference's
+    # warp-reduced atomics, backward.py:199-224)
+    seg = lambda x: jax.ops.segment_sum(
+        x, point_id_chunked, num_segments=n + 1)[:n]
+    g_gaussians2d = seg(g_pts)[:, :7]
+    g_features = seg(g_feats)[:, :f]     # drop the constant-one channel
+    heur_n = seg(heur)
 
-    return (g_pts, g_feats, heur_n.astype(pts_chunked.dtype),
+    return (g_gaussians2d, g_features, heur_n.astype(gaussians2d.dtype),
             _float0(chunk_to_tile), _float0(chunk_src),
             _float0(point_id_chunked))
 
@@ -119,27 +154,13 @@ def rasterize_with_tiles(
   num_tiles = tw * th
   ts = config.tile_size
 
-  pid = mapping.point_id_chunked
-
-  # gather into chunk-aligned layout (differentiable; transpose = scatter-add)
-  pts_ext = jnp.concatenate(
-      [gaussians2d, jnp.zeros((1, 7), dtype)], 0)
-  pts_chunked = jnp.concatenate(
-      [pts_ext[pid], jnp.zeros((pid.shape[0], 1), dtype)], -1)   # (A, 8)
-
-  feats_ext = jnp.concatenate([
-      jnp.concatenate([features, jnp.ones((n, 1), features.dtype)], -1),
-      jnp.zeros((1, f + 1), features.dtype).at[0, f].set(1.0),
-  ], 0)
-  feats_chunked = feats_ext[pid]                                  # (A, F+1)
-
   if heuristic_probe is None:
     heuristic_probe = jnp.zeros((n, 2), dtype)
 
-  raster = _raster_function(config, num_tiles, tw, n)
+  raster = _raster_function(config, num_tiles, tw, n, f)
   image_tiled, vis_chunked = raster(
-      pts_chunked, feats_chunked, heuristic_probe,
-      mapping.chunk_to_tile, mapping.chunk_src, pid)
+      gaussians2d, features, heuristic_probe,
+      mapping.chunk_to_tile, mapping.chunk_src, mapping.point_id_chunked)
 
   if not config.use_alpha_blending:
     image_tiled = jax.lax.stop_gradient(image_tiled)
@@ -157,7 +178,8 @@ def rasterize_with_tiles(
   visibility = None
   if config.compute_visibility or config.compute_point_heuristic:
     visibility = jax.lax.stop_gradient(
-        jax.ops.segment_sum(vis_chunked[:, 0], pid, num_segments=n + 1)[:n])
+        jax.ops.segment_sum(vis_chunked[:, 0], mapping.point_id_chunked,
+                            num_segments=n + 1)[:n])
 
   return RasterOut(image=image, image_weight=image_alpha,
                    point_heuristic=None, visibility=visibility)
