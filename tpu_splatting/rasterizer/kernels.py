@@ -56,14 +56,34 @@ def use_interpret() -> bool:
   return jax.default_backend() == "cpu"
 
 
-def _tri_t(g: int, dtype, strict: bool) -> jnp.ndarray:
-  """Transposed lower-triangular ones matrix, shaped for ``_mm`` so that
-  ``_mm(_tri_t(...), x)`` computes a prefix sum along the sublane axis;
-  strict excludes the diagonal (exclusive prefix)."""
-  row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-  col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-  keep = (row < col) if strict else (row <= col)
-  return keep.astype(dtype)
+def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+  """Shift rows down by ``s`` along the sublane axis, filling with ``fill``."""
+  pad = jnp.full((s, x.shape[1]), fill, x.dtype)
+  return jnp.concatenate([pad, x[:-s]], 0)
+
+
+def _cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
+  """Exclusive cumulative product along axis 0 (depth), log-depth
+  Hillis-Steele scan — O(G log G) VPU work instead of the O(G^2) MXU
+  triangular matmul (which dominated the kernel at f32-highest precision)."""
+  g = x.shape[0]
+  y = _shift_down(x, 1, 1.0)
+  s = 1
+  while s < g:
+    y = y * _shift_down(y, s, 1.0)
+    s *= 2
+  return y
+
+
+def _cumsum_incl(x: jnp.ndarray) -> jnp.ndarray:
+  """Inclusive cumulative sum along axis 0 (Hillis-Steele)."""
+  g = x.shape[0]
+  y = x
+  s = 1
+  while s < g:
+    y = y + _shift_down(y, s, 0.0)
+    s *= 2
+  return y
 
 
 def _mm(a, b):
@@ -208,10 +228,10 @@ def _forward_kernel(ct_ref, cs_ref, pts_ref, feat_ref,
 
     t_in = jnp.where(is_first, jnp.ones((1, pix), dtype), t_run_ref[...])
 
-    l = jnp.log1p(-a)
-    l_excl = _mm(_tri_t(g, dtype, strict=True), l)        # sum_{j<i} l_j
-    t_i = t_in * jnp.exp(l_excl)                          # exclusive T
-    t_end = t_in * jnp.exp(jnp.sum(l, 0, keepdims=True))
+    one_minus = 1.0 - a
+    e_excl = _cumprod_excl(one_minus)                     # prod_{j<i}(1-a_j)
+    t_i = t_in * e_excl                                   # exclusive T
+    t_end = t_in * (e_excl[g - 1:g, :] * one_minus[g - 1:g, :])
 
     feats = feat_ref[...]                                 # (G, F_total)
 
@@ -350,10 +370,10 @@ def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
                      s_run_ref[...])
 
     # replay the forward compositing
-    l = jnp.log1p(-a)
-    l_excl = _mm(_tri_t(g, dtype, strict=True), l)
-    t_i = t_in * jnp.exp(l_excl)
-    t_end = t_in * jnp.exp(jnp.sum(l, 0, keepdims=True))
+    one_minus = 1.0 - a
+    e_excl = _cumprod_excl(one_minus)
+    t_i = t_in * e_excl
+    t_end = t_in * (e_excl[g - 1:g, :] * one_minus[g - 1:g, :])
 
     cut = 1.0 - config.saturate_threshold
     mask = (t_i > cut).astype(dtype) * thresh
@@ -367,7 +387,7 @@ def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
 
     wgf = w * gf
     # s_i = sum_c g * remaining_i  (inclusive: current point subtracted)
-    s_i = s_in - _mm(_tri_t(g, dtype, strict=False), wgf)
+    s_i = s_in - _cumsum_incl(wgf)
 
     alpha_grad = (t_i * gf - s_i / (1.0 - a)) * mask      # (G, PIX)
 
