@@ -1,0 +1,68 @@
+"""PLY IO (native C++ + numpy fallback) and Morton ordering tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_splatting.io import ply
+from tpu_splatting.misc.morton import argsort_morton, morton_codes
+
+
+def make_gaussians(n=100, sh_bands=4, seed=0):
+  from tpu_splatting.data_types import Gaussians3D
+  rng = np.random.default_rng(seed)
+  return Gaussians3D(
+      position=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+      log_scaling=jnp.asarray(rng.standard_normal((n, 3)), jnp.float32),
+      rotation=jnp.asarray(rng.standard_normal((n, 4)), jnp.float32),
+      alpha_logit=jnp.asarray(rng.standard_normal((n, 1)), jnp.float32),
+      feature=jnp.asarray(rng.standard_normal((n, 3, sh_bands ** 2)),
+                          jnp.float32))
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_ply_roundtrip(tmp_path, native, monkeypatch):
+  if not native:
+    monkeypatch.setattr(ply, "_LIB", None)
+    monkeypatch.setattr(ply, "_LIB_FAILED", True)
+  g = make_gaussians()
+  path = str(tmp_path / "test.ply")
+  ply.save_gaussians(path, g)
+  g2 = ply.load_gaussians(path)
+
+  np.testing.assert_allclose(np.asarray(g2.position), np.asarray(g.position))
+  np.testing.assert_allclose(np.asarray(g2.rotation), np.asarray(g.rotation))
+  np.testing.assert_allclose(np.asarray(g2.log_scaling),
+                             np.asarray(g.log_scaling))
+  np.testing.assert_allclose(np.asarray(g2.alpha_logit),
+                             np.asarray(g.alpha_logit))
+  np.testing.assert_allclose(np.asarray(g2.feature), np.asarray(g.feature))
+
+
+def test_native_and_numpy_agree(tmp_path):
+  if ply._build_lib() is None:
+    pytest.skip("no native lib")
+  g = make_gaussians(n=57, sh_bands=2, seed=3)
+  path = str(tmp_path / "x.ply")
+  ply.save_gaussians(path, g)
+  a = ply.read_ply_raw(path)
+  b = ply._read_ply_raw_numpy(path)
+  assert set(a) == set(b)
+  for k in a:
+    np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_morton_locality():
+  rng = np.random.default_rng(0)
+  pts = jnp.asarray(rng.random((2000, 3)), jnp.float32)
+  codes = np.asarray(morton_codes(pts))
+  assert codes.min() >= 0
+
+  perm = np.asarray(argsort_morton(pts))
+  assert sorted(perm.tolist()) == list(range(2000))
+  # Morton order improves spatial locality: mean distance of consecutive
+  # points should be much smaller than for random order
+  p = np.asarray(pts)
+  d_sorted = np.linalg.norm(np.diff(p[perm], axis=0), axis=1).mean()
+  d_random = np.linalg.norm(np.diff(p, axis=0), axis=1).mean()
+  assert d_sorted < d_random * 0.35

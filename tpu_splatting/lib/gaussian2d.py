@@ -37,21 +37,24 @@ def perp(v: jnp.ndarray) -> jnp.ndarray:
   return jnp.stack([-v[..., 1], v[..., 0]], -1)
 
 
-def eig2x2(cov: jnp.ndarray, eps: float = 1e-24):
+def eig2x2(cov: jnp.ndarray, eps: float = 1e-12):
   """Closed-form eigendecomposition of a symmetric 2x2 matrix.
 
   ``cov`` holds the upper-triangular entries ``(a, b, c)`` stacked on the last
   axis.  Returns ``(sigma, v1, v2)`` where ``sigma = sqrt(eigenvalues)``
   (descending), ``v1`` the unit major axis and ``v2 = perp(v1)``.
-  Mirrors generic.py:217-230 with a safe-normalise fallback so an isotropic
-  covariance yields ``v1 = (1, 0)`` instead of NaN.
+  Mirrors generic.py:217-230 with f32-safe guards: near-isotropic
+  covariances (ill-conditioned eigenvector, sqrt(gap) gradient -> inf when
+  the gap rounds to 0 in f32) fall back to ``v1 = (1, 0)`` with zero
+  direction gradient instead of producing NaN/Inf.
   """
   a, b, c = cov[..., 0], cov[..., 1], cov[..., 2]
   tr = a + c
   det = a * c - b * b
 
   gap = tr * tr - 4.0 * det
-  sqrt_gap = jnp.sqrt(jnp.maximum(gap, 0.0))
+  # the lower clamp keeps d(sqrt)/d(gap) finite when gap underflows to 0
+  sqrt_gap = jnp.sqrt(jnp.maximum(gap, 1e-18))
 
   lam1 = (tr + sqrt_gap) * 0.5
   lam2 = (tr - sqrt_gap) * 0.5
@@ -59,12 +62,13 @@ def eig2x2(cov: jnp.ndarray, eps: float = 1e-24):
   vx, vy = a - lam2, b
   n2 = vx * vx + vy * vy
   safe = n2 > eps
-  inv_n = jnp.where(safe, 1.0 / jnp.sqrt(jnp.where(safe, n2, 1.0)), 0.0)
-  v1 = jnp.stack([jnp.where(safe, vx * inv_n, jnp.ones_like(vx)),
-                  jnp.where(safe, vy * inv_n, jnp.zeros_like(vy))], -1)
+  vx_s = jnp.where(safe, vx, 1.0)
+  vy_s = jnp.where(safe, vy, 0.0)
+  inv_n = 1.0 / jnp.sqrt(vx_s * vx_s + vy_s * vy_s)
+  v1 = jnp.stack([vx_s * inv_n, vy_s * inv_n], -1)
   v2 = perp(v1)
 
-  sigma = jnp.sqrt(jnp.maximum(jnp.stack([lam1, lam2], -1), 0.0))
+  sigma = jnp.sqrt(jnp.maximum(jnp.stack([lam1, lam2], -1), 1e-20))
   return sigma, v1, v2
 
 

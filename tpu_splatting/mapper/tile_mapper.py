@@ -173,6 +173,19 @@ def _candidate_counts_and_hits(mean, u1, u2, e1, e2, min_tile, span, valid,
   return hit, tile_id
 
 
+def _marker_fill(values: jnp.ndarray, positions: jnp.ndarray,
+                 size: int) -> jnp.ndarray:
+  """Piecewise-constant fill: out[s] = values[t] for the largest t with
+  positions[t] <= s (positions strictly increasing, values nondecreasing).
+
+  Replaces per-slot searchsorted/gather (catastrophically slow on TPU) with
+  a tiny scatter + a dense cummax scan.
+  """
+  buf = jnp.zeros((size,), values.dtype).at[positions].set(
+      values, mode="drop", unique_indices=True)
+  return jax.lax.cummax(buf)
+
+
 @partial(jax.jit,
          static_argnames=("image_size", "config", "max_overlaps",
                           "use_depth16"))
@@ -189,13 +202,21 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
     image_size: (width, height) static.
     config: RasterConfig (static).
     max_overlaps: static overlap capacity (default: heuristic).
-    use_depth16: quantise depth keys to 16 bits (tile_mapper.py:49-66).
+    use_depth16: quantise depth keys to 16 bits (tile_mapper.py:49-66),
+      enabling a single packed 32-bit (tile << 16 | depth16) sort key.
+
+  Implementation notes (TPU): the whole candidate domain is sorted directly
+  (XLA's sort is fast; scatter is not), with misses keyed to a sentinel that
+  sorts last; all per-slot layout maps are built with tiny scatters + dense
+  cummax scans instead of per-slot binary searches.
   """
   n = gaussians.shape[0]
   depth = depth.reshape(n)
   ts = config.tile_size
   tw, th = tile_shape(image_size, ts)
   num_tiles = tw * th
+  assert num_tiles < 65535, (
+      f"tile count {num_tiles} exceeds 16-bit id budget; increase tile_size")
   g = config.chunk_size
   padded_size = pad_to_tile(image_size, ts)
 
@@ -217,7 +238,6 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
 
   hit_s, tid_s = _candidate_counts_and_hits(
       mean, u1, u2, e1, e2, min_tile, span, small_valid, w_small, ts, tw)
-  counts_small = hit_s.sum(-1, dtype=jnp.int32)
 
   # ---- big-gaussian path: fixed capacity, wider window -------------------
   b_cap = config.big_capacity
@@ -243,83 +263,83 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
   hit_b, tid_b = _candidate_counts_and_hits(
       mean_b, u1_b, u2_b, e1_b, e2_b, min_tile_b, span_b, big_present,
       w_big, ts, tw)
-  counts_big = hit_b.sum(-1, dtype=jnp.int32)
 
-  # ---- offsets + scatter into the fixed-capacity overlap buffer ----------
-  counts_all = jnp.concatenate([counts_small, counts_big])
-  offsets = jnp.concatenate(
-      [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all, dtype=jnp.int32)])
-  total = offsets[-1]
+  # ---- sort keys over the whole candidate domain -------------------------
+  point_ids = jnp.arange(n, dtype=jnp.int32)
+
+  def depth16_of(d):
+    return (jnp.clip(d, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+
+  def make_keys(hit, tid, pid_col, d_col):
+    d_col = d_col.astype(jnp.float32)   # 32-bit keys (tile_mapper.py:40-42)
+    if use_depth16:
+      # packed 32-bit key: tile << 16 | depth16 (tile_mapper.py:49-66)
+      key = (tid.astype(jnp.uint32) << 16) | depth16_of(d_col).astype(
+          jnp.uint32)
+      key = jnp.where(hit, key, jnp.uint32(0xFFFFFFFF))
+      keys = (key,)
+    else:
+      tkey = jnp.where(hit, tid, num_tiles)
+      dkey = jax.lax.bitcast_convert_type(d_col, jnp.int32)
+      keys = (tkey, jnp.broadcast_to(dkey, tid.shape))
+    pid = jnp.where(hit, pid_col, n)
+    return tuple(jnp.broadcast_to(k, tid.shape).reshape(-1) for k in keys) \
+        + (jnp.broadcast_to(pid, tid.shape).reshape(-1),)
+
+  ops_s = make_keys(hit_s, tid_s, point_ids[:, None], depth[:, None])
+  d_b = gather_pad(depth[:, None])
+  ops_b = make_keys(hit_b, tid_b, big_idx.astype(jnp.int32)[:, None], d_b)
+  ops = tuple(jnp.concatenate([a, b]) for a, b in zip(ops_s, ops_b))
+
+  num_keys = len(ops) - 1
+  sorted_ops = jax.lax.sort(ops, num_keys=num_keys)
+  # truncate to capacity: valid candidates sort before sentinels
+  if use_depth16:
+    sorted_tile = (sorted_ops[0][:p_cap] >> 16).astype(jnp.int32)
+  else:
+    sorted_tile = sorted_ops[0][:p_cap]
+  overlap_to_point = sorted_ops[-1][:p_cap]
+
+  total = (hit_s.sum(dtype=jnp.int32) + hit_b.sum(dtype=jnp.int32))
   num_overflow = (jnp.maximum(total - p_cap, 0) + big_overflow
                   + span_clipped.sum(dtype=jnp.int32))
 
-  def scatter_candidates(hit, tid, point_id, base_offsets, tile_buf, pid_buf):
-    rank = jnp.cumsum(hit, -1, dtype=jnp.int32) - hit.astype(jnp.int32)
-    pos = base_offsets[:, None] + rank
-    pos = jnp.where(hit, pos, p_cap)          # dropped (mode="drop")
-    pos_f = pos.reshape(-1)
-    tile_buf = tile_buf.at[pos_f].set(
-        tid.reshape(-1), mode="drop", indices_are_sorted=False,
-        unique_indices=True)
-    pid_buf = pid_buf.at[pos_f].set(
-        jnp.broadcast_to(point_id[:, None], tid.shape).reshape(-1),
-        mode="drop", unique_indices=True)
-    return tile_buf, pid_buf
-
-  tile_buf = jnp.full((p_cap,), num_tiles, jnp.int32)     # sentinel: dummy
-  pid_buf = jnp.full((p_cap,), n, jnp.int32)
-
-  point_ids = jnp.arange(n, dtype=jnp.int32)
-  tile_buf, pid_buf = scatter_candidates(
-      hit_s, tid_s, point_ids, offsets[:n], tile_buf, pid_buf)
-  tile_buf, pid_buf = scatter_candidates(
-      hit_b, tid_b, big_idx.astype(jnp.int32), offsets[n:n + b_cap],
-      tile_buf, pid_buf)
-
-  # ---- sort by (tile, depth) ---------------------------------------------
-  depth_ext = jnp.concatenate(
-      [depth.astype(jnp.float32), jnp.full((1,), jnp.inf, jnp.float32)])
-  d = depth_ext[pid_buf]
-  if use_depth16:
-    depth_key = jnp.clip(d, 0.0, 1.0)
-    depth_key = (depth_key * 65535.0).astype(jnp.int32)
-    depth_key = jnp.where(jnp.isinf(d), jnp.int32(1 << 30), depth_key)
-  else:
-    # non-negative float bitcast to int preserves order (tile_mapper.py:40-42)
-    depth_key = jax.lax.bitcast_convert_type(d, jnp.int32)
-
-  sorted_tile, _, overlap_to_point = jax.lax.sort(
-      (tile_buf, depth_key, pid_buf), num_keys=2)
-
   # ---- per-tile ranges (reference find_ranges_kernel, :92-112) ------------
   tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-  starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-  ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+  starts = jnp.searchsorted(sorted_tile, tile_ids,
+                            side="left").astype(jnp.int32)
+  ends = jnp.searchsorted(sorted_tile, tile_ids,
+                          side="right").astype(jnp.int32)
   tile_ranges = jnp.stack([starts, ends], -1)
   counts_t = ends - starts
 
-  # ---- chunk-aligned re-layout --------------------------------------------
+  # ---- chunk-aligned re-layout (scatter-small + cummax, no searchsorted) --
   aligned_counts = jnp.maximum((counts_t + g - 1) // g, 1) * g
   aligned_offsets = jnp.concatenate(
-      [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts, dtype=jnp.int32)])
+      [jnp.zeros((1,), jnp.int32),
+       jnp.cumsum(aligned_counts, dtype=jnp.int32)])
 
   a_cap = p_cap + num_tiles * g            # static aligned capacity
   num_chunks = a_cap // g
+  marker_pos = aligned_offsets[:num_tiles]
 
   slot = jnp.arange(a_cap, dtype=jnp.int32)
-  slot_tile = jnp.searchsorted(aligned_offsets, slot, side="right"
-                               ).astype(jnp.int32) - 1
-  slot_tile_c = jnp.minimum(slot_tile, num_tiles - 1)
-  r = slot - aligned_offsets[slot_tile_c]
-  slot_valid = (slot_tile < num_tiles) & (r < counts_t[slot_tile_c])
-  src = jnp.clip(starts[slot_tile_c] + r, 0, p_cap - 1)
+  seg_start = _marker_fill(marker_pos, marker_pos, a_cap)
+  src_base = _marker_fill(starts, marker_pos, a_cap)
+  # per-slot count via two monotone fills: cnt = ends - starts
+  cnt = _marker_fill(ends, marker_pos, a_cap) - src_base
+
+  r = slot - seg_start
+  beyond = slot >= aligned_offsets[num_tiles]
+  slot_valid = (r < cnt) & ~beyond
+  src = jnp.clip(src_base + r, 0, p_cap - 1)
   point_id_chunked = jnp.where(slot_valid, overlap_to_point[src], n)
 
   chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * g
-  chunk_to_tile = jnp.searchsorted(aligned_offsets, chunk_starts,
-                                   side="right").astype(jnp.int32) - 1
-  chunk_to_tile = jnp.where(chunk_to_tile >= num_tiles, num_tiles,
-                            chunk_to_tile)
+  chunk_tile_fill = _marker_fill(tile_ids, marker_pos, a_cap)
+  chunk_to_tile = jnp.where(
+      chunk_starts >= aligned_offsets[num_tiles], num_tiles,
+      chunk_tile_fill[chunk_starts])
 
   num_real_chunks = jnp.maximum(aligned_offsets[-1] // g, 1)
   chunk_src = jnp.minimum(jnp.arange(num_chunks, dtype=jnp.int32),
