@@ -34,7 +34,7 @@ def main():
 
   image_size = (2048, 1536)
   n = 2_000_000
-  max_overlaps = 1 << 23
+  max_overlaps = 1 << 22
 
   rng = np.random.default_rng(0)
   w, h = image_size
@@ -51,12 +51,12 @@ def main():
   depth = jnp.asarray(rng.uniform(0.05, 0.95, n).astype(np.float32))
   feats = jnp.asarray(rng.random((n, 3)).astype(np.float32))
 
-  config = RasterConfig()
+  config = RasterConfig(chunk_size=128, tile_window=4)
 
   def fwd_bwd(p, f, d):
     mapping = map_to_tiles(jax.lax.stop_gradient(p),
                            jax.lax.stop_gradient(d), image_size, config,
-                           max_overlaps=max_overlaps)
+                           max_overlaps=max_overlaps, use_depth16=True)
 
     def loss(p, f):
       o = rasterize_with_tiles(p, f, mapping, image_size, config)

@@ -66,3 +66,46 @@ def test_morton_locality():
   d_sorted = np.linalg.norm(np.diff(p[perm], axis=0), axis=1).mean()
   d_random = np.linalg.norm(np.diff(p, axis=0), axis=1).mean()
   assert d_sorted < d_random * 0.35
+
+
+def test_index_features_and_segmented_sort():
+  from tpu_splatting.misc.indexing import index_features, segmented_sort_pairs
+  import jax
+
+  feats = jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3))
+  idx = jnp.asarray([2, 0, 2])
+  out = index_features(feats, idx)
+  np.testing.assert_array_equal(np.asarray(out), np.asarray(feats)[[2, 0, 2]])
+
+  # gather VJP scatter-adds duplicates
+  g = jax.grad(lambda f: index_features(f, idx).sum())(feats)
+  np.testing.assert_array_equal(np.asarray(g)[:, 0], [1, 0, 2, 0])
+
+  keys = jnp.asarray([3, 1, 2, 9, 0], jnp.int32)
+  vals = jnp.asarray([30, 10, 20, 90, 0], jnp.int32)
+  segs = jnp.asarray([1, 0, 1, 0, 0], jnp.int32)
+  sk, sv = segmented_sort_pairs(keys, vals, segs)
+  np.testing.assert_array_equal(np.asarray(sk), [0, 1, 9, 2, 3])
+  np.testing.assert_array_equal(np.asarray(sv), [0, 10, 90, 20, 30])
+
+
+def test_check_finite():
+  import pytest as _pytest
+  from tpu_splatting.utils.check_finite import check_finite, count_nonfinite
+
+  good = {"a": jnp.ones(3), "b": jnp.zeros((2, 2))}
+  check_finite(good)
+
+  bad = {"a": jnp.asarray([1.0, np.nan, np.inf])}
+  assert sum(count_nonfinite(bad).values()) == 2
+  with _pytest.raises(ValueError):
+    check_finite(bad, "bad")
+
+
+def test_autoencoder_example_converges():
+  import sys
+  from pathlib import Path
+  sys.path.insert(0, str(Path(__file__).parent.parent))
+  from examples.autoencoder import train
+  _, loss = train(n=2000, steps=300, verbose=False)
+  assert loss < 0.01, f"autoencoder failed to converge: {loss}"

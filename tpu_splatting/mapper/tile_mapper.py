@@ -41,7 +41,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +87,15 @@ class TileMapping:
     chunk_src: (K,) i32 — input-block index for DMA (dummy chunks clamp to
       the last real chunk so their loads are free).
     num_overflow: () i32 — overlaps dropped due to capacity (0 == exact).
+
+  Inverse permutation for gradient reduction (scatters are ~12x slower
+  than gathers on TPU, so per-point gradient reduction gathers per-overlap
+  gradients back into the dense candidate domain and sums over the window
+  axis instead of scatter-adding):
+    cand_to_slot: (C,) i32 — aligned slot of each candidate (dense over the
+      small window domain N*W^2 followed by the big domain B*Wb^2); misses
+      point at the null slot A.
+    big_idx: (B,) i32 — gaussian index of each big-path row (n = absent).
   """
   overlap_to_point: jnp.ndarray
   tile_ranges: jnp.ndarray
@@ -94,6 +103,8 @@ class TileMapping:
   chunk_to_tile: jnp.ndarray
   chunk_src: jnp.ndarray
   num_overflow: jnp.ndarray
+  cand_to_slot: Optional[jnp.ndarray]
+  big_idx: jnp.ndarray
 
   # static metadata
   num_points: int
@@ -101,6 +112,8 @@ class TileMapping:
   tiles_wide: int
   tiles_high: int
   chunk_size: int
+  small_window: int
+  big_window: int
 
   @property
   def num_chunks(self) -> int:
@@ -110,9 +123,10 @@ class TileMapping:
 jax.tree_util.register_dataclass(
     TileMapping,
     data_fields=["overlap_to_point", "tile_ranges", "point_id_chunked",
-                 "chunk_to_tile", "chunk_src", "num_overflow"],
+                 "chunk_to_tile", "chunk_src", "num_overflow",
+                 "cand_to_slot", "big_idx"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
-                 "chunk_size"])
+                 "chunk_size", "small_window", "big_window"])
 
 
 def _obb_axes(axis, sigma, gscale, tile_size):
@@ -186,13 +200,24 @@ def _marker_fill(values: jnp.ndarray, positions: jnp.ndarray,
   return jax.lax.cummax(buf)
 
 
+def _marker_fill_max(values: jnp.ndarray, positions: jnp.ndarray,
+                     size: int) -> jnp.ndarray:
+  """Like _marker_fill but positions may repeat (empty segments share start
+  positions); the largest value wins, which is the containing segment since
+  values are nondecreasing in segment index.  values must be >= 0."""
+  buf = jnp.zeros((size,), values.dtype).at[positions].max(values,
+                                                           mode="drop")
+  return jax.lax.cummax(buf)
+
+
 @partial(jax.jit,
          static_argnames=("image_size", "config", "max_overlaps",
-                          "use_depth16"))
+                          "use_depth16", "build_inverse"))
 def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
                  image_size: Tuple[int, int], config: RasterConfig,
                  max_overlaps: int | None = None,
-                 use_depth16: bool = False) -> TileMapping:
+                 use_depth16: bool = False,
+                 build_inverse: bool = False) -> TileMapping:
   """Map packed 2D gaussians to depth-sorted per-tile overlap lists.
 
   Args mirror the reference map_to_tiles (tile_mapper.py:203-225):
@@ -290,15 +315,22 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
   d_b = gather_pad(depth[:, None])
   ops_b = make_keys(hit_b, tid_b, big_idx.astype(jnp.int32)[:, None], d_b)
   ops = tuple(jnp.concatenate([a, b]) for a, b in zip(ops_s, ops_b))
-
   num_keys = len(ops) - 1
+
+  c_total = ops[0].shape[0]
+  if build_inverse:
+    # candidate ids ride along so the inverse permutation (candidate ->
+    # sorted position) can be recovered with a second sort instead of a
+    # scatter (gathers/sorts are far cheaper than scatters on TPU)
+    ops = ops + (jnp.arange(c_total, dtype=jnp.int32),)
+
   sorted_ops = jax.lax.sort(ops, num_keys=num_keys)
   # truncate to capacity: valid candidates sort before sentinels
   if use_depth16:
     sorted_tile = (sorted_ops[0][:p_cap] >> 16).astype(jnp.int32)
   else:
     sorted_tile = sorted_ops[0][:p_cap]
-  overlap_to_point = sorted_ops[-1][:p_cap]
+  overlap_to_point = sorted_ops[num_keys][:p_cap]
 
   total = (hit_s.sum(dtype=jnp.int32) + hit_b.sum(dtype=jnp.int32))
   num_overflow = (jnp.maximum(total - p_cap, 0) + big_overflow
@@ -345,6 +377,24 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
   chunk_src = jnp.minimum(jnp.arange(num_chunks, dtype=jnp.int32),
                           num_real_chunks - 1)
 
+  # ---- inverse permutation: candidate -> aligned slot ----------------------
+  cand_to_slot = None
+  if build_inverse:
+    sorted_cand = sorted_ops[-1]
+    idx_p = jnp.arange(p_cap, dtype=jnp.int32)
+    # per-sorted-position aligned slot (marker fills over the sorted domain;
+    # empty tiles share start positions -> max variant)
+    a_off_sorted = _marker_fill_max(aligned_offsets[:num_tiles], starts,
+                                    p_cap)
+    s_start_sorted = _marker_fill_max(starts, starts, p_cap)
+    aligned_pos = a_off_sorted + (idx_p - s_start_sorted)
+    valid_sorted = sorted_tile < num_tiles
+    aligned_pos = jnp.where(valid_sorted, aligned_pos, a_cap)
+    aligned_pos_full = jnp.concatenate(
+        [aligned_pos, jnp.full((c_total - p_cap,), a_cap, jnp.int32)])
+    _, cand_to_slot = jax.lax.sort((sorted_cand, aligned_pos_full),
+                                   num_keys=1)
+
   return TileMapping(
       overlap_to_point=overlap_to_point,
       tile_ranges=tile_ranges,
@@ -352,9 +402,13 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
       chunk_to_tile=chunk_to_tile,
       chunk_src=chunk_src,
       num_overflow=num_overflow,
+      cand_to_slot=cand_to_slot,
+      big_idx=big_idx.astype(jnp.int32),
       num_points=n,
       num_tiles=num_tiles,
       tiles_wide=tw,
       tiles_high=th,
       chunk_size=g,
+      small_window=w_small,
+      big_window=w_big,
   )

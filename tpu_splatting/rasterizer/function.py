@@ -76,6 +76,35 @@ def _gather_chunked(gaussians2d, features, pid, n, f):
   return pts_chunked, feats_chunked
 
 
+def reduce_aligned_to_points(x_aligned: jnp.ndarray, mapping: TileMapping
+                             ) -> jnp.ndarray:
+  """Sum per-aligned-slot rows (A, C) into per-point rows (N, C).
+
+  Uses the mapper's inverse permutation when available: a dense row gather
+  back into the candidate domain followed by a window-axis sum — scatters
+  (segment_sum) are ~12x slower than gathers on TPU.
+  """
+  n = mapping.num_points
+  c = x_aligned.shape[1]
+
+  if mapping.cand_to_slot is None:
+    return jax.ops.segment_sum(
+        x_aligned, mapping.point_id_chunked, num_segments=n + 1)[:n]
+
+  w2 = mapping.small_window ** 2
+  wb2 = mapping.big_window ** 2
+  x_ext = jnp.concatenate(
+      [x_aligned, jnp.zeros((1, c), x_aligned.dtype)], 0)
+  x_cand = x_ext[mapping.cand_to_slot]          # misses hit the zero row
+
+  small = x_cand[: n * w2].reshape(n, w2, c).sum(1)
+  big = x_cand[n * w2:].reshape(-1, wb2, c).sum(1)       # (B, C)
+
+  out = jnp.concatenate([small, jnp.zeros((1, c), small.dtype)], 0)
+  out = out.at[mapping.big_idx].add(big, mode="drop")    # B is tiny
+  return out[:n]
+
+
 @lru_cache(maxsize=None)
 def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
                      num_points: int, feature_size: int):
@@ -84,51 +113,44 @@ def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
   function.py:28-40)."""
   n, f = num_points, feature_size
 
-  def _forward(gaussians2d, features, chunk_to_tile, chunk_src,
-               point_id_chunked):
+  def _forward(gaussians2d, features, mapping):
     pts_chunked, feats_chunked = _gather_chunked(
-        gaussians2d, features, point_id_chunked, n, f)
-    return kernels.forward(pts_chunked, feats_chunked, chunk_to_tile,
-                           chunk_src, config, num_tiles, tiles_wide)
+        gaussians2d, features, mapping.point_id_chunked, n, f)
+    return kernels.forward(pts_chunked, feats_chunked, mapping.chunk_to_tile,
+                           mapping.chunk_src, config, num_tiles, tiles_wide)
 
   @jax.custom_vjp
-  def raster(gaussians2d, features, probe, chunk_to_tile, chunk_src,
-             point_id_chunked):
-    return _forward(gaussians2d, features, chunk_to_tile, chunk_src,
-                    point_id_chunked)
+  def raster(gaussians2d, features, probe, mapping):
+    return _forward(gaussians2d, features, mapping)
 
-  def fwd(gaussians2d, features, probe, chunk_to_tile, chunk_src,
-          point_id_chunked):
-    image_tiled, vis_chunked = _forward(
-        gaussians2d, features, chunk_to_tile, chunk_src, point_id_chunked)
-    residuals = (gaussians2d, features, image_tiled, chunk_to_tile,
-                 chunk_src, point_id_chunked)
+  def fwd(gaussians2d, features, probe, mapping):
+    image_tiled, vis_chunked = _forward(gaussians2d, features, mapping)
+    residuals = (gaussians2d, features, image_tiled, mapping)
     return (image_tiled, vis_chunked), residuals
 
   def bwd(residuals, cotangents):
-    (gaussians2d, features, image_tiled, chunk_to_tile, chunk_src,
-     point_id_chunked) = residuals
+    gaussians2d, features, image_tiled, mapping = residuals
     g_image_tiled, _g_vis = cotangents   # visibility is non-differentiable
 
     # rematerialise the chunked gather (memory: transient only)
     pts_chunked, feats_chunked = _gather_chunked(
-        gaussians2d, features, point_id_chunked, n, f)
+        gaussians2d, features, mapping.point_id_chunked, n, f)
 
     g_pts, g_feats, heur = kernels.backward(
         pts_chunked, feats_chunked, image_tiled, g_image_tiled,
-        chunk_to_tile, chunk_src, config, num_tiles, tiles_wide)
+        mapping.chunk_to_tile, mapping.chunk_src, config, num_tiles,
+        tiles_wide)
 
-    # reduce per-overlap gradients to points (replaces the reference's
-    # warp-reduced atomics, backward.py:199-224)
-    seg = lambda x: jax.ops.segment_sum(
-        x, point_id_chunked, num_segments=n + 1)[:n]
-    g_gaussians2d = seg(g_pts)[:, :7]
-    g_features = seg(g_feats)[:, :f]     # drop the constant-one channel
-    heur_n = seg(heur)
+    # reduce per-overlap gradients to points in ONE combined pass
+    # (replaces the reference's warp-reduced atomics, backward.py:199-224)
+    combined = jnp.concatenate([g_pts, g_feats, heur], -1)
+    reduced = reduce_aligned_to_points(combined, mapping)
+    g_gaussians2d = reduced[:, :7]
+    g_features = reduced[:, 8:8 + f]     # drop pad + constant-one channel
+    heur_n = reduced[:, 9 + f:]
 
     return (g_gaussians2d, g_features, heur_n.astype(gaussians2d.dtype),
-            _float0(chunk_to_tile), _float0(chunk_src),
-            _float0(point_id_chunked))
+            jax.tree.map(_float0, mapping))
 
   raster.defvjp(fwd, bwd)
   return raster
@@ -159,8 +181,7 @@ def rasterize_with_tiles(
 
   raster = _raster_function(config, num_tiles, tw, n, f)
   image_tiled, vis_chunked = raster(
-      gaussians2d, features, heuristic_probe,
-      mapping.chunk_to_tile, mapping.chunk_src, mapping.point_id_chunked)
+      gaussians2d, features, heuristic_probe, mapping)
 
   if not config.use_alpha_blending:
     image_tiled = jax.lax.stop_gradient(image_tiled)
@@ -178,8 +199,7 @@ def rasterize_with_tiles(
   visibility = None
   if config.compute_visibility or config.compute_point_heuristic:
     visibility = jax.lax.stop_gradient(
-        jax.ops.segment_sum(vis_chunked[:, 0], mapping.point_id_chunked,
-                            num_segments=n + 1)[:n])
+        reduce_aligned_to_points(vis_chunked, mapping)[:, 0])
 
   return RasterOut(image=image, image_weight=image_alpha,
                    point_heuristic=None, visibility=visibility)
