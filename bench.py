@@ -38,7 +38,7 @@ def main():
 
   rng = np.random.default_rng(0)
   w, h = image_size
-  density = 2.0 * w / (1 + math.sqrt(n))
+  density = 1.2 * w / (1 + math.sqrt(n))
   packed = np.zeros((n, 7), np.float32)
   packed[:, 0] = rng.uniform(0, w, n)
   packed[:, 1] = rng.uniform(0, h, n)
@@ -63,6 +63,13 @@ def main():
       return jnp.sum(o.image ** 2) + jnp.sum(o.image_weight)
 
     return jax.grad(loss, argnums=(0, 1))(p, f)
+
+  # sanity: report capacity overflow (should be 0 for a valid run)
+  m = jax.jit(lambda p, d: map_to_tiles(
+      p, d, image_size, config, max_overlaps=max_overlaps,
+      use_depth16=True))(packed, depth)
+  print(f"# overlaps capacity {max_overlaps}, overflow "
+        f"{int(m.num_overflow)}", file=sys.stderr)
 
   ms = benchmarked("fwd+bwd 2048px 2M splats", fwd_bwd,
                    (packed, feats, depth), iters=3)

@@ -141,13 +141,19 @@ def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
         mapping.chunk_to_tile, mapping.chunk_src, config, num_tiles,
         tiles_wide)
 
-    # reduce per-overlap gradients to points in ONE combined pass
+    # reduce per-overlap gradients to points in ONE combined pass, keeping
+    # only live columns — the reduction cost is proportional to width
     # (replaces the reference's warp-reduced atomics, backward.py:199-224)
-    combined = jnp.concatenate([g_pts, g_feats, heur], -1)
-    reduced = reduce_aligned_to_points(combined, mapping)
+    cols = [g_pts[:, :7], g_feats[:, :f]]   # drop pad + constant-one channel
+    if config.compute_point_heuristic:
+      cols.append(heur)
+    reduced = reduce_aligned_to_points(jnp.concatenate(cols, -1), mapping)
     g_gaussians2d = reduced[:, :7]
-    g_features = reduced[:, 8:8 + f]     # drop pad + constant-one channel
-    heur_n = reduced[:, 9 + f:]
+    g_features = reduced[:, 7:7 + f]
+    if config.compute_point_heuristic:
+      heur_n = reduced[:, 7 + f:]
+    else:
+      heur_n = jnp.zeros((n, 2), gaussians2d.dtype)
 
     return (g_gaussians2d, g_features, heur_n.astype(gaussians2d.dtype),
             jax.tree.map(_float0, mapping))

@@ -11,6 +11,7 @@ from hoisting the loop body.
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Callable
 
@@ -57,5 +58,6 @@ def benchmarked(name: str, f: Callable, args, iters: int = 50,
   t0 = time.time()
   np.asarray(run(iters))
   ms = (time.time() - t0) / iters * 1000.0
-  print(f"{name}: {ms:.3f} ms/iter  ({1000.0 / ms:.1f} it/s)")
+  print(f"{name}: {ms:.3f} ms/iter  ({1000.0 / ms:.1f} it/s)",
+        file=sys.stderr)
   return ms
