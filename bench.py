@@ -51,12 +51,13 @@ def main():
   depth = jnp.asarray(rng.uniform(0.05, 0.95, n).astype(np.float32))
   feats = jnp.asarray(rng.random((n, 3)).astype(np.float32))
 
-  config = RasterConfig(chunk_size=128, tile_window=4)
+  config = RasterConfig(chunk_size=128)
 
   def fwd_bwd(p, f, d):
     mapping = map_to_tiles(jax.lax.stop_gradient(p),
                            jax.lax.stop_gradient(d), image_size, config,
-                           max_overlaps=max_overlaps, use_depth16=True)
+                           max_overlaps=max_overlaps, use_depth16=True,
+                           features=jax.lax.stop_gradient(f))
 
     def loss(p, f):
       o = rasterize_with_tiles(p, f, mapping, image_size, config)
@@ -64,12 +65,21 @@ def main():
 
     return jax.grad(loss, argnums=(0, 1))(p, f)
 
-  # sanity: report capacity overflow (should be 0 for a valid run)
-  m = jax.jit(lambda p, d: map_to_tiles(
-      p, d, image_size, config, max_overlaps=max_overlaps,
-      use_depth16=True))(packed, depth)
-  print(f"# overlaps capacity {max_overlaps}, overflow "
-        f"{int(m.num_overflow)}", file=sys.stderr)
+  # the benchmark is only valid if NO overlaps were dropped: auto-grow the
+  # capacity until overflow is zero, fail the metric if it never is
+  for _ in range(4):
+    m = jax.jit(lambda p, d, f: map_to_tiles(
+        p, d, image_size, config, max_overlaps=max_overlaps,
+        use_depth16=True, features=f))(packed, depth, feats)
+    overflow = int(m.num_overflow)
+    print(f"# overlaps capacity {max_overlaps}, overflow {overflow}",
+          file=sys.stderr)
+    if overflow == 0:
+      break
+    max_overlaps *= 2
+  assert overflow == 0, (
+      f"benchmark invalid: {overflow} overlaps dropped at capacity "
+      f"{max_overlaps}")
 
   ms = benchmarked("fwd+bwd 2048px 2M splats", fwd_bwd,
                    (packed, feats, depth), iters=3)

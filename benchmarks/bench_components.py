@@ -67,19 +67,21 @@ def bench_sh(n=1_000_000, degree=3, iters=10):
 
 def bench_tilemapper(n=1_000_000, image_size=(1024, 768), iters=5,
                      max_overlaps=1 << 22):
-  packed, depth, _ = synthetic_2d(n, image_size, scale_factor=2.0)
+  packed, depth, feats = synthetic_2d(n, image_size, scale_factor=2.0)
   config = RasterConfig()
-  f = lambda p, d: map_to_tiles(p, d, image_size, config,
-                                max_overlaps=max_overlaps)
-  return benchmarked(f"tile_mapper n={n}", f, (packed, depth), iters=iters)
+  f = lambda p, d, f_: map_to_tiles(p, d, image_size, config,
+                                    max_overlaps=max_overlaps, features=f_)
+  return benchmarked(f"tile_mapper n={n}", f, (packed, depth, feats),
+                     iters=iters)
 
 
 def bench_rasterizer(n=1_000_000, image_size=(1024, 768), iters=5,
                      max_overlaps=1 << 22, backward=False, chunk_size=128):
   packed, depth, feats = synthetic_2d(n, image_size)
   config = RasterConfig(chunk_size=chunk_size)
-  mapping = jax.jit(lambda p, d: map_to_tiles(
-      p, d, image_size, config, max_overlaps=max_overlaps))(packed, depth)
+  mapping = jax.jit(lambda p, d, f_: map_to_tiles(
+      p, d, image_size, config, max_overlaps=max_overlaps,
+      features=f_))(packed, depth, feats)
 
   if not backward:
     f = lambda p, f_: rasterize_with_tiles(p, f_, mapping, image_size,

@@ -31,11 +31,12 @@ import jax.numpy as jnp
 from tpu_splatting import RasterConfig
 from tpu_splatting.data_types import Gaussians2D
 from tpu_splatting.lib.transforms import inverse_sigmoid
-from tpu_splatting.misc.renderer2d import (point_basis, project_gaussians2d,
+from tpu_splatting.misc.renderer2d import (point_basis,
+                                           render_with_heuristics,
                                            uniform_split_gaussians2d)
 from tpu_splatting.optim import (GroupConfig, ParameterClass,
                                  VisibilityAwareLaProp)
-from tpu_splatting.rasterizer.function import rasterize
+from tpu_splatting.utils.check_finite import check_finite
 
 
 def parse_args(argv=None):
@@ -59,7 +60,12 @@ def parse_args(argv=None):
   parser.add_argument("--image_size", type=str, default="256,192",
                       help="synthetic target size if no image file")
   parser.add_argument("--write_frames", type=Path, default=None)
-  parser.add_argument("--profile", action="store_true")
+  parser.add_argument("--profile", action="store_true",
+                      help="trace one epoch with jax.profiler")
+  parser.add_argument("--profile_dir", type=str,
+                      default="/tmp/tpu_splatting_trace")
+  parser.add_argument("--debug", action="store_true",
+                      help="check parameters for non-finite values each epoch")
   return parser.parse_args(argv)
 
 
@@ -138,31 +144,20 @@ def train_step(tensors, opt_state, ref_image, *, optimizer, config,
                position_lr):
   """One optimization step (reference train_epoch body, :103-141)."""
   w, h = image_size
-  n = tensors["position"].shape[0]
-  probe = jnp.zeros((n, 2), jnp.float32)
 
-  def loss_fn(tensors, probe):
-    gaussians = gaussians_from_tensors(tensors)
-    gaussians2d = project_gaussians2d(gaussians)
-    out = rasterize(
-        gaussians2d=gaussians2d,
-        depth=jnp.clip(gaussians.depths, 0.0, 1.0),
-        features=gaussians.feature,
-        image_size=image_size, config=config, max_overlaps=max_overlaps,
-        heuristic_probe=probe)
-
+  def loss_fn(out, gaussians):
     scale = jnp.exp(gaussians.log_scaling) / min(w, h)
-    loss = (jnp.mean((out.image - ref_image) ** 2)
+    return (jnp.mean((out.image - ref_image) ** 2)
             + opacity_reg * jnp.mean(gaussians.opacity)
             + scale_reg * jnp.mean(scale ** 2))
-    return loss, out
-
-  (loss, out), (grads, heuristics) = jax.value_and_grad(
-      loss_fn, argnums=(0, 1), has_aux=True)(tensors, probe)
 
   gaussians = gaussians_from_tensors(tensors)
-  basis = point_basis(gaussians)
+  loss, out, grads = render_with_heuristics(
+      loss_fn, gaussians, image_size, config, max_overlaps)
+  grads = {k: getattr(grads, k) for k in tensors}
+  heuristics = out.point_heuristic
 
+  basis = point_basis(gaussians)
   opt = optimizer(make_parameter_groups(position_lr),
                   vis_smooth=0.1, vis_beta=0.8)
   new_tensors, opt_state = opt.step(tensors, grads, opt_state,
@@ -264,9 +259,13 @@ def main(argv=None):
   iteration = 0
   image = None
   t_start = time.time()
-  for epoch_size in epochs:
+  for epoch_i, epoch_size in enumerate(epochs):
     t = (iteration + epoch_size * 0.5) / args.iters
     position_lr = log_lerp(t, *lr_range)
+
+    profiling = args.profile and epoch_i == 1   # second epoch: warm caches
+    if profiling:
+      jax.profiler.start_trace(args.profile_dir)
 
     heuristics_sum = jnp.zeros((params.batch_size[0], 2), jnp.float32)
     for _ in range(epoch_size):
@@ -279,6 +278,15 @@ def main(argv=None):
           position_lr=position_lr)
       params = ParameterClass(new_tensors, params.optimizer, opt_state)
       heuristics_sum = heuristics_sum + heuristics
+
+    if profiling:
+      jax.block_until_ready(heuristics_sum)
+      jax.profiler.stop_trace()
+      print(f"profile trace written to {args.profile_dir}")
+
+    if args.debug:
+      check_finite(params.tensors, "params")
+      check_finite(heuristics_sum, "heuristics")
 
     metrics = {
         "CPSNR": f"{psnr(ref_image, image):.2f}",

@@ -5,6 +5,8 @@ converge (the reference's own correctness north-star, BASELINE.json config
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
@@ -13,10 +15,11 @@ def test_fit_image_gaussians_converges():
 
   psnr = main(["--n", "200", "--iters", "40", "--epoch", "10",
                "--max_epoch", "20", "--image_size", "64,48", "--prune",
-               "--max_overlaps", "16384"])
+               "--max_overlaps", "16384", "--debug"])
   assert psnr > 15, f"training failed to converge: PSNR {psnr}"
 
 
+@pytest.mark.slow
 def test_fit_image_gaussians_antialias():
   from examples.fit_image_gaussians import main
 

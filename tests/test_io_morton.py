@@ -39,6 +39,54 @@ def test_ply_roundtrip(tmp_path, native, monkeypatch):
   np.testing.assert_allclose(np.asarray(g2.feature), np.asarray(g.feature))
 
 
+def test_ply_3dgs_layout_and_sh_ordering(tmp_path):
+  """Hand-built PLY in the canonical 3DGS checkpoint layout: verify property
+  ordering and SH coefficient arrangement.  Official 3DGS stores f_rest
+  channel-major: f_rest_{i*(B-1)+j} = features_rest[:, i, j] (channel i,
+  coefficient j+1) — from gaussian_splatting/scene/gaussian_model.save_ply
+  (features_rest.transpose(1, 2).flatten(1))."""
+  n, b = 4, 4                      # degree-3: B = 16 coefficients
+  props = {}
+  props["x"] = np.arange(n, dtype=np.float32)
+  props["y"] = np.arange(n, dtype=np.float32) + 10
+  props["z"] = np.arange(n, dtype=np.float32) + 20
+  for k in ("nx", "ny", "nz"):
+    props[k] = np.zeros(n, np.float32)
+  for i in range(3):
+    props[f"f_dc_{i}"] = np.full(n, 100.0 + i, np.float32)
+  nb = b * b - 1                   # 15 rest coefficients per channel
+  for i in range(3):
+    for j in range(nb):
+      props[f"f_rest_{i * nb + j}"] = np.full(
+          n, 1000.0 * i + j, np.float32)
+  props["opacity"] = np.linspace(-1, 1, n).astype(np.float32)
+  for i in range(3):
+    props[f"scale_{i}"] = np.full(n, 0.1 * i, np.float32)
+  # wxyz identity quaternion
+  props["rot_0"] = np.ones(n, np.float32)
+  for i in (1, 2, 3):
+    props[f"rot_{i}"] = np.zeros(n, np.float32)
+
+  path = str(tmp_path / "canonical.ply")
+  ply.write_ply_raw(path, props)
+  g = ply.load_gaussians(path)
+
+  feat = np.asarray(g.feature)     # (N, 3, B^2)
+  assert feat.shape == (n, 3, b * b)
+  for i in range(3):
+    np.testing.assert_array_equal(feat[:, i, 0], props[f"f_dc_{i}"])
+    for j in range(nb):
+      np.testing.assert_array_equal(
+          feat[:, i, 1 + j], props[f"f_rest_{i * nb + j}"],
+          err_msg=f"channel {i} coeff {j}")
+  # wxyz -> xyzw conversion
+  rot = np.asarray(g.rotation)
+  np.testing.assert_array_equal(rot[:, 3], np.ones(n))
+  np.testing.assert_array_equal(rot[:, :3], np.zeros((n, 3)))
+  np.testing.assert_array_equal(np.asarray(g.position)[:, 1],
+                                props["y"])
+
+
 def test_native_and_numpy_agree(tmp_path):
   if ply._build_lib() is None:
     pytest.skip("no native lib")

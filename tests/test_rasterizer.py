@@ -75,7 +75,13 @@ def test_forward_matches_oracle_quantile(seed):
   np.testing.assert_allclose(np.asarray(out.visibility), ref_vis, atol=1e-10)
 
 
-@pytest.mark.parametrize("seed", range(8))
+# seed coverage: 30 seeds x 2 modes = 60 gradchecks; seeds 0-3 run in the
+# default (fast) tier, the rest in the slow tier (reference runs 100 seeds,
+# tests/test_rasterizer.py:62-90)
+@pytest.mark.parametrize(
+    "seed", [*range(4),
+             *(pytest.param(s, marks=pytest.mark.slow)
+               for s in range(4, 30))])
 @pytest.mark.parametrize("antialias", [False, True])
 def test_rasterizer_gradcheck(seed, antialias):
   """f64 gradcheck of the hand-written backward, through the full pipeline
@@ -97,7 +103,7 @@ def test_rasterizer_gradcheck(seed, antialias):
   def f(mean, axis, sigma, alpha, feats):
     packed = jnp.concatenate([mean, axis, sigma, alpha[:, None]], -1)
     out = rasterize(packed, depth, feats, image_size, config,
-                    max_overlaps=1024)
+                    max_overlaps=64)
     return out.image, out.image_weight
 
   check_grads(f, (mean, axis, sigma, alpha, feats), rtol=5e-5, atol=5e-7,

@@ -22,7 +22,7 @@ def make_inputs(seed, n=32, degree=3, k=3, dtype=jnp.float64):
   return params, positions, camera_pos
 
 
-@pytest.mark.parametrize("degree", [0, 1, 2, 3])
+@pytest.mark.parametrize("degree", [0, 1, 2, 3, 4])
 def test_sh_orthonormality(degree):
   """Monte-Carlo check that the basis is orthonormal over the sphere."""
   rng = np.random.default_rng(0)
@@ -34,7 +34,7 @@ def test_sh_orthonormality(degree):
 
 
 @pytest.mark.parametrize("seed", range(5))
-@pytest.mark.parametrize("degree", [1, 3])
+@pytest.mark.parametrize("degree", [1, 3, 4])
 def test_sh_matches_direct(seed, degree):
   params, positions, camera_pos = make_inputs(seed, degree=degree)
   out = evaluate_sh_at(params, positions, camera_pos)

@@ -71,12 +71,14 @@ class RasterConfig:
 
   # Per-gaussian candidate tile window (tiles per axis) for the tile mapper's
   # small-gaussian path. Gaussians spanning more tiles go to the big path.
-  tile_window: int = 6
+  # The candidate-sort cost is superlinear in n * tile_window^2 (measured),
+  # so keep this tight; trained-scene splats rarely span more than 3 tiles.
+  tile_window: int = 3
 
   # Capacity of the big-gaussian path (number of gaussians routed to the
   # wider window) and its window size.
-  big_capacity: int = 4096
-  big_tile_window: int = 32
+  big_capacity: int = 8192
+  big_tile_window: int = 16
 
   # unused by the TPU kernels (kept for API parity with the reference
   # backward's register tiling knob, data_types.py:22)

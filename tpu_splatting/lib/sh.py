@@ -1,9 +1,12 @@
-"""Real spherical-harmonics bases, degrees 0-3 (pure jnp, batched).
+"""Real spherical-harmonics bases, degrees 0-4 (pure jnp, batched).
 
 Standard real SH polynomials in Cartesian form, matching the basis used by
 the reference (/root/reference/taichi_splatting/indexed_spherical_harmonics.py
-:38-106, itself derived from cheind/torch-spherical-harmonics).  XLA fuses the
-polynomial evaluation with the downstream contraction, so no kernel is needed.
+:38-106, itself derived from cheind/torch-spherical-harmonics; the reference
+generates degrees 0-8 in torch_lib/rsh.py but only uses 0-3 — degree 4 here
+is an extension, validated by the Monte-Carlo orthonormality test).  XLA
+fuses the polynomial evaluation with the downstream contraction, so no
+kernel is needed.
 """
 
 from __future__ import annotations
@@ -16,12 +19,12 @@ def rsh_cart(xyz: jnp.ndarray, degree: int) -> jnp.ndarray:
 
   Args:
     xyz: (..., 3) unit direction vectors.
-    degree: 0..3 (static).
+    degree: 0..4 (static).
 
   Returns:
     (..., (degree+1)**2) basis values.
   """
-  assert 0 <= degree <= 3, f"SH degree must be 0..3, got {degree}"
+  assert 0 <= degree <= 4, f"SH degree must be 0..4, got {degree}"
   x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
   one = jnp.ones_like(x)
 
@@ -51,6 +54,19 @@ def rsh_cart(xyz: jnp.ndarray, degree: int) -> jnp.ndarray:
         0.304697199642977 * x * (1.5 - 7.5 * z2),
         1.44530572132028 * z * (x2 - y2),
         -0.590043589926644 * x * (x2 - 3.0 * y2),
+    ]
+  if degree >= 4:
+    z4 = z2 * z2
+    out += [
+        2.5033429417967046 * xy * (x2 - y2),
+        -1.7701307697799304 * yz * (3.0 * x2 - y2),
+        0.9461746957575601 * xy * (7.0 * z2 - 1.0),
+        -0.6690465435572892 * yz * (7.0 * z2 - 3.0),
+        0.10578554691520431 * (35.0 * z4 - 30.0 * z2 + 3.0),
+        -0.6690465435572892 * xz * (7.0 * z2 - 3.0),
+        0.47308734787878004 * (x2 - y2) * (7.0 * z2 - 1.0),
+        -1.7701307697799304 * xz * (x2 - 3.0 * y2),
+        0.6258357354491761 * (x2 * x2 - 6.0 * x2 * y2 + y2 * y2),
     ]
   return jnp.stack(out, -1)
 

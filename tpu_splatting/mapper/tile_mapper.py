@@ -9,8 +9,10 @@ taichi_lib/grid_query.py:9-93).  The reference pipeline is:
   keys) -> range extraction.
 
 That shape cannot exist under XLA (host sync + dynamic allocation), so this
-implementation is re-architected around **static capacities + masks**
-(SURVEY.md §7):
+implementation is re-architected around **static capacities + masks** and
+one measured v5e fact: XLA's sort moves extra payload operands almost for
+free (~0.4 ms per f32 column per 4M rows), while random row gathers cost
+~7 ns/row (~600x off HBM bandwidth).  Consequently:
 
 * Each gaussian tests a fixed ``tile_window``^2 candidate window of tiles
   against its oriented ellipse (the separating-axis OBB test of
@@ -18,22 +20,23 @@ implementation is re-architected around **static capacities + masks**
   the projection of a tile onto an ellipse axis is ``center +- extent`` with
   a *per-gaussian constant* extent, so no corner expansion is needed).
   Gaussians spanning more tiles are routed to a secondary "big" path with a
-  wider window and a fixed capacity — overflow is counted and reported, never
-  silently mis-rendered as long as ``num_overflow == 0``.
+  wider window and a fixed capacity — overflow is counted and reported,
+  never silently mis-rendered as long as ``num_overflow == 0``.
 
-* Overlaps are scattered into a fixed-capacity buffer and sorted by
-  ``(tile_id, depth)`` with a two-operand lexicographic ``lax.sort`` —
-  replacing the 64-bit CUB radix sort without 64-bit keys.
+* Candidates are sorted by ``(tile_id, depth)`` with ``lax.sort`` — and the
+  full point rows (and features, when provided) **ride the sort as payload
+  operands**, so the rasterizer's per-overlap inputs come out of the sort
+  already in tile-major depth order.  No per-overlap gather ever happens.
 
-* Per-tile segments are then re-laid-out into **chunk-aligned** form: every
-  tile's overlap list is padded to a multiple of ``chunk_size`` (null
-  entries have alpha 0 => compositing no-ops) and every tile owns at least
-  one chunk.  This gives the Pallas rasterizer a grid of fixed-size chunks,
-  each belonging to exactly one tile, so the whole forward/backward is a
-  flash-attention-style pipelined scan with no gather inside the kernel.
+* The per-tile segments are consumed chunk-aligned: every tile owns
+  ``ceil(count/chunk_size)`` chunks (at least one).  Only chunk-LEVEL
+  metadata is materialised here (owning tile, source row offset, valid
+  count); the (small Pallas) window-copy kernel in ``rasterizer/chunks.py``
+  lays rows out per chunk at DMA speed.
 
 Everything is forward-only / non-differentiable, matching the reference
-(tile mapping runs under ``torch.no_grad``, tile_mapper.py:181).
+(tile mapping runs under ``torch.no_grad``, tile_mapper.py:181); gradients
+for the payload buffers are defined by the rasterizer's custom_vjp.
 """
 
 from __future__ import annotations
@@ -76,35 +79,31 @@ class TileMapping:
   """Static-shape tile mapping result (pytree; sizes are static metadata).
 
   API-parity fields (reference tile_mapper.py:216-219):
-    overlap_to_point: (P,) i32 — point index per overlap, sorted by
+    overlap_to_point: (P + 2*chunk,) i32 — point index per overlap, sorted by
       (tile, depth); padding entries are ``num_points`` (one past the end).
+      The trailing ``2 * chunk_size`` rows are slack so chunk windows
+      (fetched as two chunk-aligned blocks) never read out of bounds.
     tile_ranges: (T, 2) i32 — [start, end) into the sorted overlap list.
 
-  TPU-specific chunk-aligned layout for the Pallas rasterizer:
-    point_id_chunked: (A,) i32 — point index per aligned overlap slot;
-      null slots are ``num_points``.
-    chunk_to_tile: (K,) i32 — owning tile of each chunk; dummy chunks = T.
-    chunk_src: (K,) i32 — input-block index for DMA (dummy chunks clamp to
-      the last real chunk so their loads are free).
-    num_overflow: () i32 — overlaps dropped due to capacity (0 == exact).
+  Payload riding the sort (the TPU-native replacement for the rasterizer's
+  per-overlap gather; None when the mapper was called without data):
+    sorted_payload: (P + 2*chunk, 7 + F) f32 — packed gaussian row and feature
+      row per overlap, in the same order as ``overlap_to_point``.
 
-  Inverse permutation for gradient reduction (scatters are ~12x slower
-  than gathers on TPU, so per-point gradient reduction gathers per-overlap
-  gradients back into the dense candidate domain and sums over the window
-  axis instead of scatter-adding):
-    cand_to_slot: (C,) i32 — aligned slot of each candidate (dense over the
-      small window domain N*W^2 followed by the big domain B*Wb^2); misses
-      point at the null slot A.
-    big_idx: (B,) i32 — gaussian index of each big-path row (n = absent).
+  Chunk-level layout for the Pallas rasterizer (K = P/chunk + T chunks):
+    chunk_to_tile: (K,) i32 — owning tile of each chunk; dummy chunks = T.
+    chunk_src: (K,) i32 — start row of the chunk's window into the sorted
+      overlap domain.
+    chunk_cnt: (K,) i32 — number of valid rows in the window (0 for dummy).
+    num_overflow: () i32 — overlaps dropped due to capacity (0 == exact).
   """
   overlap_to_point: jnp.ndarray
   tile_ranges: jnp.ndarray
-  point_id_chunked: jnp.ndarray
+  sorted_payload: Optional[jnp.ndarray]
   chunk_to_tile: jnp.ndarray
   chunk_src: jnp.ndarray
+  chunk_cnt: jnp.ndarray
   num_overflow: jnp.ndarray
-  cand_to_slot: Optional[jnp.ndarray]
-  big_idx: jnp.ndarray
 
   # static metadata
   num_points: int
@@ -114,19 +113,33 @@ class TileMapping:
   chunk_size: int
   small_window: int
   big_window: int
+  feature_size: Optional[int]
 
   @property
   def num_chunks(self) -> int:
     return self.chunk_to_tile.shape[0]
 
+  @property
+  def point_id_chunked(self) -> jnp.ndarray:
+    """(K * chunk_size,) i32 point id per chunk-aligned slot (null = n).
+
+    Computed on demand (tests / fallback paths); the production path keeps
+    everything in the compact sorted domain."""
+    g = self.chunk_size
+    k = self.num_chunks
+    r = jnp.arange(g, dtype=jnp.int32)[None, :]
+    src = self.chunk_src[:, None] + r                       # (K, g)
+    valid = r < self.chunk_cnt[:, None]
+    pid = self.overlap_to_point[src.reshape(-1)].reshape(k, g)
+    return jnp.where(valid, pid, self.num_points).reshape(-1)
+
 
 jax.tree_util.register_dataclass(
     TileMapping,
-    data_fields=["overlap_to_point", "tile_ranges", "point_id_chunked",
-                 "chunk_to_tile", "chunk_src", "num_overflow",
-                 "cand_to_slot", "big_idx"],
+    data_fields=["overlap_to_point", "tile_ranges", "sorted_payload",
+                 "chunk_to_tile", "chunk_src", "chunk_cnt", "num_overflow"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
-                 "chunk_size", "small_window", "big_window"])
+                 "chunk_size", "small_window", "big_window", "feature_size"])
 
 
 def _obb_axes(axis, sigma, gscale, tile_size):
@@ -158,8 +171,8 @@ def _tile_bounds(mean, axis, sigma, gscale, image_size, tile_size):
   return min_tile, max_tile_b
 
 
-def _candidate_counts_and_hits(mean, u1, u2, e1, e2, min_tile, span, valid,
-                               window: int, tile_size: int, tiles_wide: int):
+def _candidate_hits(mean, u1, u2, e1, e2, min_tile, span, valid,
+                    window: int, tile_size: int, tiles_wide: int):
   """Test a window^2 candidate grid per gaussian.
 
   Returns (hit (N, window^2) bool, tile_id (N, window^2) i32).
@@ -190,21 +203,11 @@ def _candidate_counts_and_hits(mean, u1, u2, e1, e2, min_tile, span, valid,
 def _marker_fill(values: jnp.ndarray, positions: jnp.ndarray,
                  size: int) -> jnp.ndarray:
   """Piecewise-constant fill: out[s] = values[t] for the largest t with
-  positions[t] <= s (positions strictly increasing, values nondecreasing).
+  positions[t] <= s (positions nondecreasing, values nondecreasing).
 
   Replaces per-slot searchsorted/gather (catastrophically slow on TPU) with
-  a tiny scatter + a dense cummax scan.
-  """
-  buf = jnp.zeros((size,), values.dtype).at[positions].set(
-      values, mode="drop", unique_indices=True)
-  return jax.lax.cummax(buf)
-
-
-def _marker_fill_max(values: jnp.ndarray, positions: jnp.ndarray,
-                     size: int) -> jnp.ndarray:
-  """Like _marker_fill but positions may repeat (empty segments share start
-  positions); the largest value wins, which is the containing segment since
-  values are nondecreasing in segment index.  values must be >= 0."""
+  a tiny scatter + a dense cummax scan.  Only used on the small chunk-level
+  (K-sized) domain."""
   buf = jnp.zeros((size,), values.dtype).at[positions].max(values,
                                                            mode="drop")
   return jax.lax.cummax(buf)
@@ -212,12 +215,12 @@ def _marker_fill_max(values: jnp.ndarray, positions: jnp.ndarray,
 
 @partial(jax.jit,
          static_argnames=("image_size", "config", "max_overlaps",
-                          "use_depth16", "build_inverse"))
+                          "use_depth16"))
 def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
                  image_size: Tuple[int, int], config: RasterConfig,
                  max_overlaps: int | None = None,
                  use_depth16: bool = False,
-                 build_inverse: bool = False) -> TileMapping:
+                 features: Optional[jnp.ndarray] = None) -> TileMapping:
   """Map packed 2D gaussians to depth-sorted per-tile overlap lists.
 
   Args mirror the reference map_to_tiles (tile_mapper.py:203-225):
@@ -229,11 +232,14 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
     max_overlaps: static overlap capacity (default: heuristic).
     use_depth16: quantise depth keys to 16 bits (tile_mapper.py:49-66),
       enabling a single packed 32-bit (tile << 16 | depth16) sort key.
+    features: optional (N, F) per-point features.  When given, point rows
+      AND feature rows ride the sort as payload so the rasterizer needs no
+      per-overlap gather (the fast path used by ``rasterize``).
 
-  Implementation notes (TPU): the whole candidate domain is sorted directly
-  (XLA's sort is fast; scatter is not), with misses keyed to a sentinel that
-  sorts last; all per-slot layout maps are built with tiny scatters + dense
-  cummax scans instead of per-slot binary searches.
+  The mapping itself is non-differentiable (inputs are stop_gradient'd by
+  callers); gradients through ``sorted_payload`` are defined by the
+  rasterizer custom_vjp, which reduces per-overlap cotangents back to
+  points.
   """
   n = gaussians.shape[0]
   depth = depth.reshape(n)
@@ -247,7 +253,33 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
 
   if max_overlaps is None:
     max_overlaps = default_max_overlaps(n, image_size, config)
-  p_cap = max_overlaps
+  p_cap = ((max_overlaps + g - 1) // g) * g   # chunk-aligned capacity
+
+  # ---- depth-presort the points (cheap: N rows, one key) -------------------
+  # All downstream candidate expansion happens in depth order, so the
+  # candidate sort needs only a STABLE single tile key — a 2-key
+  # lexicographic lax.sort is several times slower at tens of millions of
+  # rows (measured), and exact f32 depth order among small gaussians comes
+  # out better than the reference's quantised keys.  Non-negative f32 depth
+  # bits compare correctly as int32.
+  if features is not None:
+    assert features.shape[0] == n, features.shape
+    f_size = features.shape[1]
+    row_payload = jnp.concatenate(
+        [gaussians, features.astype(gaussians.dtype)], -1)   # (N, 7+F)
+  else:
+    f_size = None
+    row_payload = gaussians
+
+  dkey = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+  pre_ops = (dkey, jnp.arange(n, dtype=jnp.int32), depth) + tuple(
+      row_payload[:, c] for c in range(row_payload.shape[1]))
+  pre_sorted = jax.lax.sort(pre_ops, num_keys=1)
+  orig_pid = pre_sorted[1]
+  depth = pre_sorted[2]
+  row_payload = jnp.stack(pre_sorted[3:], -1)
+  gaussians = row_payload[:, :7]
+  payload = row_payload if features is not None else None
 
   mean, axis, sigma, alpha = g2d.unpack_g2d(gaussians)
   gscale = g2d.gaussian_scale(alpha, config.alpha_threshold)
@@ -261,7 +293,7 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
   is_big = valid & jnp.any(span > w_small, -1)
   small_valid = valid & ~is_big
 
-  hit_s, tid_s = _candidate_counts_and_hits(
+  hit_s, tid_s = _candidate_hits(
       mean, u1, u2, e1, e2, min_tile, span, small_valid, w_small, ts, tw)
 
   # ---- big-gaussian path: fixed capacity, wider window -------------------
@@ -285,125 +317,104 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
   span_b = jnp.minimum(span_b_full, w_big)
   span_clipped = jnp.any(span_b_full > w_big, -1) & big_present
 
-  hit_b, tid_b = _candidate_counts_and_hits(
+  hit_b, tid_b = _candidate_hits(
       mean_b, u1_b, u2_b, e1_b, e2_b, min_tile_b, span_b, big_present,
       w_big, ts, tw)
 
-  # ---- sort keys over the whole candidate domain -------------------------
-  point_ids = jnp.arange(n, dtype=jnp.int32)
+  # ---- stable single-key sort of the candidate domain ---------------------
+  # Points are already depth-ordered and the sort is stable, so a bare tile
+  # key yields per-tile depth order.  The depth16 component stays in the key
+  # only to interleave big-path candidates (appended after the small block)
+  # at their approximate depth (tile_mapper.py:49-66); among small gaussians
+  # the stable presort gives EXACT f32 depth order regardless of
+  # ``use_depth16``.
 
   def depth16_of(d):
-    return (jnp.clip(d, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    return (jnp.clip(d, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
 
-  def make_keys(hit, tid, pid_col, d_col):
-    d_col = d_col.astype(jnp.float32)   # 32-bit keys (tile_mapper.py:40-42)
-    if use_depth16:
-      # packed 32-bit key: tile << 16 | depth16 (tile_mapper.py:49-66)
-      key = (tid.astype(jnp.uint32) << 16) | depth16_of(d_col).astype(
-          jnp.uint32)
-      key = jnp.where(hit, key, jnp.uint32(0xFFFFFFFF))
-      keys = (key,)
-    else:
-      tkey = jnp.where(hit, tid, num_tiles)
-      dkey = jax.lax.bitcast_convert_type(d_col, jnp.int32)
-      keys = (tkey, jnp.broadcast_to(dkey, tid.shape))
+  def make_ops(hit, tid, pid_col, d_col, payload_rows):
+    key = (tid.astype(jnp.uint32) << 16) | depth16_of(
+        d_col.astype(jnp.float32))
+    key = jnp.where(hit, key, jnp.uint32(0xFFFFFFFF))
     pid = jnp.where(hit, pid_col, n)
-    return tuple(jnp.broadcast_to(k, tid.shape).reshape(-1) for k in keys) \
-        + (jnp.broadcast_to(pid, tid.shape).reshape(-1),)
+    ops = (jnp.broadcast_to(key, tid.shape).reshape(-1),
+           jnp.broadcast_to(pid, tid.shape).reshape(-1))
+    if payload_rows is not None:
+      ops = ops + tuple(
+          jnp.broadcast_to(payload_rows[:, c:c + 1], tid.shape).reshape(-1)
+          for c in range(payload_rows.shape[1]))
+    return ops
 
-  ops_s = make_keys(hit_s, tid_s, point_ids[:, None], depth[:, None])
+  payload_b = gather_pad(payload) if payload is not None else None
+  ops_s = make_ops(hit_s, tid_s, orig_pid[:, None], depth[:, None], payload)
   d_b = gather_pad(depth[:, None])
-  ops_b = make_keys(hit_b, tid_b, big_idx.astype(jnp.int32)[:, None], d_b)
+  pid_b = gather_pad(orig_pid[:, None].astype(jnp.int32), fill=n)
+  ops_b = make_ops(hit_b, tid_b, pid_b, d_b, payload_b)
   ops = tuple(jnp.concatenate([a, b]) for a, b in zip(ops_s, ops_b))
-  num_keys = len(ops) - 1
 
-  c_total = ops[0].shape[0]
-  if build_inverse:
-    # candidate ids ride along so the inverse permutation (candidate ->
-    # sorted position) can be recovered with a second sort instead of a
-    # scatter (gathers/sorts are far cheaper than scatters on TPU)
-    ops = ops + (jnp.arange(c_total, dtype=jnp.int32),)
+  sorted_ops = jax.lax.sort(ops, num_keys=1)
+  # truncate to capacity: valid candidates sort before sentinels; trailing
+  # chunk_size rows of slack keep chunk windows in bounds
+  sorted_tile = (sorted_ops[0][:p_cap] >> 16).astype(jnp.int32)
+  overlap_to_point = jnp.concatenate(
+      [sorted_ops[1][:p_cap], jnp.full((2 * g,), n, jnp.int32)])
 
-  sorted_ops = jax.lax.sort(ops, num_keys=num_keys)
-  # truncate to capacity: valid candidates sort before sentinels
-  if use_depth16:
-    sorted_tile = (sorted_ops[0][:p_cap] >> 16).astype(jnp.int32)
-  else:
-    sorted_tile = sorted_ops[0][:p_cap]
-  overlap_to_point = sorted_ops[num_keys][:p_cap]
+  sorted_payload = None
+  if payload is not None:
+    cols = sorted_ops[2:]
+    sorted_payload = jnp.concatenate(
+        [jnp.stack([c[:p_cap] for c in cols], -1),
+         jnp.zeros((2 * g, 7 + f_size), gaussians.dtype)], 0)
 
   total = (hit_s.sum(dtype=jnp.int32) + hit_b.sum(dtype=jnp.int32))
   num_overflow = (jnp.maximum(total - p_cap, 0) + big_overflow
                   + span_clipped.sum(dtype=jnp.int32))
 
   # ---- per-tile ranges (reference find_ranges_kernel, :92-112) ------------
+  # one searchsorted over T+1 edges: starts = r[:T], ends = r[1:]
   tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-  starts = jnp.searchsorted(sorted_tile, tile_ids,
-                            side="left").astype(jnp.int32)
-  ends = jnp.searchsorted(sorted_tile, tile_ids,
-                          side="right").astype(jnp.int32)
+  edges = jnp.searchsorted(sorted_tile,
+                           jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+  starts = edges[:num_tiles]
+  ends = edges[1:]
   tile_ranges = jnp.stack([starts, ends], -1)
   counts_t = ends - starts
 
-  # ---- chunk-aligned re-layout (scatter-small + cummax, no searchsorted) --
-  aligned_counts = jnp.maximum((counts_t + g - 1) // g, 1) * g
-  aligned_offsets = jnp.concatenate(
+  # ---- chunk-level layout (all K-sized; no per-slot arrays) ---------------
+  aligned_chunks = jnp.maximum((counts_t + g - 1) // g, 1)   # (T,)
+  chunk_offsets = jnp.concatenate(
       [jnp.zeros((1,), jnp.int32),
-       jnp.cumsum(aligned_counts, dtype=jnp.int32)])
+       jnp.cumsum(aligned_chunks, dtype=jnp.int32)])         # (T+1,)
 
-  a_cap = p_cap + num_tiles * g            # static aligned capacity
-  num_chunks = a_cap // g
-  marker_pos = aligned_offsets[:num_tiles]
+  k_chunks = p_cap // g + num_tiles                          # static K
+  chunk_ids = jnp.arange(k_chunks, dtype=jnp.int32)
 
-  slot = jnp.arange(a_cap, dtype=jnp.int32)
-  seg_start = _marker_fill(marker_pos, marker_pos, a_cap)
-  src_base = _marker_fill(starts, marker_pos, a_cap)
-  # per-slot count via two monotone fills: cnt = ends - starts
-  cnt = _marker_fill(ends, marker_pos, a_cap) - src_base
+  chunk_tile_fill = _marker_fill(tile_ids, chunk_offsets[:num_tiles],
+                                 k_chunks)
+  is_dummy = chunk_ids >= chunk_offsets[num_tiles]
+  chunk_to_tile = jnp.where(is_dummy, num_tiles, chunk_tile_fill)
 
-  r = slot - seg_start
-  beyond = slot >= aligned_offsets[num_tiles]
-  slot_valid = (r < cnt) & ~beyond
-  src = jnp.clip(src_base + r, 0, p_cap - 1)
-  point_id_chunked = jnp.where(slot_valid, overlap_to_point[src], n)
+  first_chunk = _marker_fill(chunk_offsets[:num_tiles],
+                             chunk_offsets[:num_tiles], k_chunks)
+  start_fill = _marker_fill(starts, chunk_offsets[:num_tiles], k_chunks)
+  end_fill = _marker_fill(ends, chunk_offsets[:num_tiles], k_chunks)
 
-  chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * g
-  chunk_tile_fill = _marker_fill(tile_ids, marker_pos, a_cap)
-  chunk_to_tile = jnp.where(
-      chunk_starts >= aligned_offsets[num_tiles], num_tiles,
-      chunk_tile_fill[chunk_starts])
-
-  num_real_chunks = jnp.maximum(aligned_offsets[-1] // g, 1)
-  chunk_src = jnp.minimum(jnp.arange(num_chunks, dtype=jnp.int32),
-                          num_real_chunks - 1)
-
-  # ---- inverse permutation: candidate -> aligned slot ----------------------
-  cand_to_slot = None
-  if build_inverse:
-    sorted_cand = sorted_ops[-1]
-    idx_p = jnp.arange(p_cap, dtype=jnp.int32)
-    # per-sorted-position aligned slot (marker fills over the sorted domain;
-    # empty tiles share start positions -> max variant)
-    a_off_sorted = _marker_fill_max(aligned_offsets[:num_tiles], starts,
-                                    p_cap)
-    s_start_sorted = _marker_fill_max(starts, starts, p_cap)
-    aligned_pos = a_off_sorted + (idx_p - s_start_sorted)
-    valid_sorted = sorted_tile < num_tiles
-    aligned_pos = jnp.where(valid_sorted, aligned_pos, a_cap)
-    aligned_pos_full = jnp.concatenate(
-        [aligned_pos, jnp.full((c_total - p_cap,), a_cap, jnp.int32)])
-    _, cand_to_slot = jax.lax.sort((sorted_cand, aligned_pos_full),
-                                   num_keys=1)
+  chunk_src = start_fill + (chunk_ids - first_chunk) * g
+  chunk_cnt = jnp.clip(end_fill - chunk_src, 0, g)
+  chunk_cnt = jnp.where(is_dummy, 0, chunk_cnt)
+  # dummy chunks read block 0 so the pipeline re-uses a cached block
+  chunk_src = jnp.where(is_dummy, 0,
+                        jnp.clip(chunk_src, 0, p_cap))   # slack covers src+g
 
   return TileMapping(
       overlap_to_point=overlap_to_point,
       tile_ranges=tile_ranges,
-      point_id_chunked=point_id_chunked,
+      sorted_payload=sorted_payload,
       chunk_to_tile=chunk_to_tile,
       chunk_src=chunk_src,
+      chunk_cnt=chunk_cnt,
       num_overflow=num_overflow,
-      cand_to_slot=cand_to_slot,
-      big_idx=big_idx.astype(jnp.int32),
       num_points=n,
       num_tiles=num_tiles,
       tiles_wide=tw,
@@ -411,4 +422,5 @@ def map_to_tiles(gaussians: jnp.ndarray, depth: jnp.ndarray,
       chunk_size=g,
       small_window=w_small,
       big_window=w_big,
+      feature_size=f_size,
   )

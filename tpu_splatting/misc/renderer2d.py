@@ -114,7 +114,8 @@ def uniform_split_gaussians2d(points: Gaussians2D, key: jax.Array, n: int = 2,
 
 def render_gaussians(gaussians: Gaussians2D, image_size: Tuple[int, int],
                      raster_config: RasterConfig = RasterConfig(),
-                     max_overlaps: Optional[int] = None):
+                     max_overlaps: Optional[int] = None,
+                     heuristic_probe: Optional[jnp.ndarray] = None):
   """2D toy-render entry point (renderer2d.py:134-148)."""
   from ..rasterizer.function import rasterize
 
@@ -125,4 +126,28 @@ def render_gaussians(gaussians: Gaussians2D, image_size: Tuple[int, int],
       features=gaussians.feature,
       image_size=image_size,
       config=raster_config,
-      max_overlaps=max_overlaps)
+      max_overlaps=max_overlaps,
+      heuristic_probe=heuristic_probe)
+
+
+def render_with_heuristics(loss_fn, gaussians: Gaussians2D,
+                           image_size: Tuple[int, int],
+                           config: RasterConfig = RasterConfig(),
+                           max_overlaps: Optional[int] = None):
+  """2D analogue of renderer.render_with_heuristics: render, evaluate
+  ``loss_fn(out, gaussians)``, and return ``(loss, out, grads)`` with
+  ``out.point_heuristic`` populated (columns: prune_cost, split_score) from
+  the same backward pass as ``grads`` (a Gaussians2D cotangent pytree)."""
+  assert config.compute_point_heuristic, (
+      "render_with_heuristics requires config.compute_point_heuristic")
+  n = gaussians.position.shape[0]
+  probe = jnp.zeros((n, 2), gaussians.position.dtype)
+
+  def wrapped(g, probe):
+    out = render_gaussians(g, image_size, config, max_overlaps,
+                           heuristic_probe=probe)
+    return loss_fn(out, g), out
+
+  (loss, out), (grads, heur) = jax.value_and_grad(
+      wrapped, argnums=(0, 1), has_aux=True)(gaussians, probe)
+  return loss, out._replace(point_heuristic=heur), grads

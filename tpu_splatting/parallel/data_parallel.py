@@ -49,17 +49,22 @@ def _render_loss(gaussians: Gaussians3D, projection, t_camera_world,
       projection=projection, T_camera_world=t_camera_world)
   out = render_gaussians(gaussians, camera, config,
                          max_overlaps=max_overlaps)
-  return jnp.mean((out.image - target) ** 2)
+  vis = out.points._visibility
+  if vis is None:
+    vis = jnp.zeros(gaussians.position.shape[0], gaussians.position.dtype)
+  return jnp.mean((out.image - target) ** 2), vis
 
 
 def data_parallel_loss(mesh: Mesh, camera_template: CameraParams,
                        config: RasterConfig, max_overlaps: int,
                        axis_name: str = "data"):
-  """Mean loss over a camera batch sharded across the mesh.
+  """Mean loss + aggregated per-point visibility over a sharded camera batch.
 
   gaussians: replicated; projections (B, 4), poses (B, 4, 4), targets
-  (B, H, W, C): sharded on the batch axis.  Returns a callable suitable for
-  ``jax.grad`` — the psum over ICI makes gradients replicated.
+  (B, H, W, C): sharded on the batch axis.  Returns a callable computing
+  ``(loss, visibility)`` — use with ``jax.grad(..., has_aux=True)``; the
+  psums over ICI make both the gradients and the (N,) visibility (summed
+  over every camera in the global batch) replicated.
   """
 
   def per_shard(gaussians, projections, poses, targets):
@@ -68,15 +73,16 @@ def data_parallel_loss(mesh: Mesh, camera_template: CameraParams,
       return _render_loss(gaussians, proj, pose, target, camera_template,
                           config, max_overlaps)
 
-    losses = jax.lax.map(camera_loss, (projections, poses, targets))
+    losses, vis = jax.lax.map(camera_loss, (projections, poses, targets))
     total = jax.lax.psum(jnp.sum(losses), axis_name)
     count = jax.lax.psum(losses.shape[0], axis_name)
-    return total / count
+    vis_total = jax.lax.psum(jnp.sum(vis, 0), axis_name)   # (N,)
+    return total / count, vis_total
 
   return shard_map(
       per_shard, mesh=mesh,
       in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
-      out_specs=P(),
+      out_specs=(P(), P()),
       check_rep=False)
 
 
@@ -85,7 +91,10 @@ def make_train_step(mesh: Mesh, camera_template: CameraParams,
                                                                  GroupConfig],
                     max_overlaps: int, axis_name: str = "data"):
   """Data-parallel training step: per-camera losses on each chip, psum'd
-  gradients, replicated fractional-optimizer update."""
+  gradients, visibility-aware update driven by the per-point visibility
+  aggregated (psum) across the whole camera batch."""
+  import dataclasses
+  config = dataclasses.replace(config, compute_visibility=True)
   loss_fn = data_parallel_loss(mesh, camera_template, config, max_overlaps,
                                axis_name)
   optimizer = VisibilityAwareLaProp(parameter_groups)
@@ -97,13 +106,10 @@ def make_train_step(mesh: Mesh, camera_template: CameraParams,
       gaussians = Gaussians3D(**tensors)
       return loss_fn(gaussians, projections, poses, targets)
 
-    loss, grads = jax.value_and_grad(wrapped)(tensors)
-    # visibility proxy: every point participates (exact per-point visibility
-    # aggregation across cameras lands with the fused multi-camera renderer)
-    weight = jnp.ones(tensors["position"].shape[0],
-                      tensors["position"].dtype)
+    (loss, visibility), grads = jax.value_and_grad(
+        wrapped, has_aux=True)(tensors)
     new_tensors, new_state = optimizer.step(tensors, grads, opt_state,
-                                            weight)
+                                            visibility)
     return new_tensors, new_state, loss
 
   return train_step, optimizer

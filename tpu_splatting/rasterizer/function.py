@@ -4,25 +4,29 @@ TPU-native equivalent of the reference autograd wrapper
 (/root/reference/taichi_splatting/rasterizer/function.py:28-165).  Notable
 design differences:
 
-* **Gradient routing & memory.** The custom_vjp boundary takes the N-sized
-  point arrays; the gather into the chunk-aligned overlap layout happens
-  inside and is *recomputed* in the backward pass (rematerialisation) rather
-  than saved — the A-sized chunked buffers exist only transiently, so the
-  fwd+bwd peak memory is the same as forward-only.  Per-overlap gradients
-  are written contiguously by the backward kernel (no atomics — the
-  reference uses warp-reduced atomics, backward.py:199-224) and
-  segment-summed to points.
+* **No per-overlap gather, ever.**  The tile mapper sorts the candidate
+  domain with point/feature rows riding the sort as payload (XLA's sort
+  moves payload columns almost for free on TPU, while random row gathers
+  run ~600x off HBM bandwidth); the Pallas window-copy kernel lays the
+  sorted rows out chunk-aligned with one contiguous DMA per chunk.
 
-* **image_alpha is differentiable.** A constant-one feature channel is
-  appended internally, so the alpha image is just another composited
-  channel (the reference marks it non-differentiable, function.py:73).
+* **No atomics, no scatter.**  Per-overlap gradients are written
+  contiguously by the backward kernel (the reference uses warp-reduced
+  atomics, backward.py:199-224), sorted by point id (payload riding again)
+  and reduced by the sorted-segment-sum Pallas kernel: one-hot matmuls on
+  the MXU over contiguous input windows.
 
-* **Point heuristics as probe gradients.** The reference fills
+* **image_alpha is differentiable.**  The alpha image is composited as an
+  extra channel inside the kernel (the reference marks it
+  non-differentiable, function.py:73).
+
+* **Point heuristics as probe gradients.**  The reference fills
   ``point_heuristic`` during backward by mutating a forward output
   (function.py:52-92) — impossible under jit.  Here ``rasterize`` accepts a
   zero-valued ``heuristic_probe`` input whose *cotangent* is defined to be
   the heuristics, so trainers obtain them with
-  ``jax.grad(loss, argnums=probe)`` in the same backward pass.
+  ``jax.grad(loss, argnums=probe)`` in the same backward pass (or use
+  ``renderer.render_with_heuristics``).
 
 * **Quantile (non-blending) mode is forward-only** — the reference's
   backward silently computes blending-mode gradients for it (its
@@ -43,6 +47,7 @@ import numpy as np
 from ..data_types import RasterConfig
 from ..mapper.tile_mapper import TileMapping, map_to_tiles, tile_shape
 from . import kernels
+from .layout import segment_sum_sorted, window_copy
 
 
 class RasterOut(NamedTuple):
@@ -57,52 +62,59 @@ def _float0(x):
   return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _gather_chunked(gaussians2d, features, pid, n, f):
-  """Gather N-sized point arrays into the chunk-aligned overlap layout.
+def _rows_chunked(mapping: TileMapping, gaussians2d, features):
+  """Chunk-aligned (A, 7+F) overlap rows.
 
-  Null slots (pid == n) read an all-zero row (alpha 0 -> compositing no-op)
-  with a constant-one alpha-feature channel.
-  """
-  dtype = gaussians2d.dtype
-  pts_ext = jnp.concatenate([gaussians2d, jnp.zeros((1, 7), dtype)], 0)
-  pts_chunked = jnp.concatenate(
-      [pts_ext[pid], jnp.zeros((pid.shape[0], 1), dtype)], -1)   # (A, 8)
-
-  feats_ext = jnp.concatenate([
-      jnp.concatenate([features, jnp.ones((n, 1), features.dtype)], -1),
-      jnp.zeros((1, f + 1), features.dtype).at[0, f].set(1.0),
-  ], 0)
-  feats_chunked = feats_ext[pid]                                  # (A, F+1)
-  return pts_chunked, feats_chunked
-
-
-def reduce_aligned_to_points(x_aligned: jnp.ndarray, mapping: TileMapping
-                             ) -> jnp.ndarray:
-  """Sum per-aligned-slot rows (A, C) into per-point rows (N, C).
-
-  Uses the mapper's inverse permutation when available: a dense row gather
-  back into the candidate domain followed by a window-axis sum — scatters
-  (segment_sum) are ~12x slower than gathers on TPU.
-  """
+  Fast path: one window-copy of the mapper's sorted payload.  Fallback
+  (mapping built without features, or with a different feature width —
+  e.g. the median-depth second pass): gather via point_id_chunked."""
+  g = mapping.chunk_size
+  if (mapping.sorted_payload is not None
+      and mapping.feature_size == features.shape[1]):
+    return window_copy(mapping.sorted_payload, mapping.chunk_src,
+                       mapping.chunk_cnt, g)
   n = mapping.num_points
-  c = x_aligned.shape[1]
+  rows = jnp.concatenate([gaussians2d, features.astype(gaussians2d.dtype)],
+                         -1)
+  rows_ext = jnp.concatenate(
+      [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], 0)
+  pid = mapping.point_id_chunked
+  return rows_ext[jnp.minimum(pid, n)] * (pid < n)[:, None].astype(rows.dtype)
 
-  if mapping.cand_to_slot is None:
-    return jax.ops.segment_sum(
-        x_aligned, mapping.point_id_chunked, num_segments=n + 1)[:n]
 
-  w2 = mapping.small_window ** 2
-  wb2 = mapping.big_window ** 2
-  x_ext = jnp.concatenate(
-      [x_aligned, jnp.zeros((1, c), x_aligned.dtype)], 0)
-  x_cand = x_ext[mapping.cand_to_slot]          # misses hit the zero row
+def _pid_chunked(mapping: TileMapping):
+  """(A, 1) i32 point ids per chunk slot (null = num_points), via the same
+  window-copy kernel (i32 rides as bitcast f32)."""
+  n = mapping.num_points
+  o2p = mapping.overlap_to_point
+  as_f32 = jax.lax.bitcast_convert_type(o2p, jnp.float32)[:, None]
+  copied = window_copy(as_f32, mapping.chunk_src, mapping.chunk_cnt,
+                       mapping.chunk_size)
+  pid = jax.lax.bitcast_convert_type(copied[:, 0], jnp.int32)
+  # window_copy zero-fills invalid slots; bitcast(0f) == 0 which is a REAL
+  # point id, so rebuild the null sentinel from the validity pattern
+  k = mapping.num_chunks
+  g = mapping.chunk_size
+  r = jnp.arange(g, dtype=jnp.int32)[None, :]
+  valid = (r < mapping.chunk_cnt[:, None]).reshape(-1)
+  return jnp.where(valid, pid, n)
 
-  small = x_cand[: n * w2].reshape(n, w2, c).sum(1)
-  big = x_cand[n * w2:].reshape(-1, wb2, c).sum(1)       # (B, C)
 
-  out = jnp.concatenate([small, jnp.zeros((1, c), small.dtype)], 0)
-  out = out.at[mapping.big_idx].add(big, mode="drop")    # B is tiny
-  return out[:n]
+def reduce_chunked_to_points(x_chunked: jnp.ndarray, pid: jnp.ndarray,
+                             num_points: int) -> jnp.ndarray:
+  """Sum per-chunk-slot rows (A, C) into per-point rows (N, C): sort rows
+  by point id (payload rides the sort) + sorted-segment-sum on the MXU.
+  Wide rows are reduced in <=15-column groups (packed-lane kernel limit)."""
+  c = x_chunked.shape[1]
+  ops = (pid,) + tuple(x_chunked[:, i] for i in range(c))
+  sorted_ops = jax.lax.sort(ops, num_keys=1)
+  ids = sorted_ops[0]
+  cols = sorted_ops[1:]
+  outs = []
+  for lo in range(0, c, 15):
+    rows_sorted = jnp.stack(cols[lo:lo + 15], -1)
+    outs.append(segment_sum_sorted(rows_sorted, ids, num_points))
+  return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
 
 
 @lru_cache(maxsize=None)
@@ -113,49 +125,40 @@ def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
   function.py:28-40)."""
   n, f = num_points, feature_size
 
-  def _forward(gaussians2d, features, mapping):
-    pts_chunked, feats_chunked = _gather_chunked(
-        gaussians2d, features, mapping.point_id_chunked, n, f)
-    return kernels.forward(pts_chunked, feats_chunked, mapping.chunk_to_tile,
-                           mapping.chunk_src, config, num_tiles, tiles_wide)
-
   @jax.custom_vjp
   def raster(gaussians2d, features, probe, mapping):
-    return _forward(gaussians2d, features, mapping)
+    rows = _rows_chunked(mapping, gaussians2d, features)
+    return kernels.forward(rows, mapping.chunk_to_tile, config, num_tiles,
+                           tiles_wide)
 
   def fwd(gaussians2d, features, probe, mapping):
-    image_tiled, vis_chunked = _forward(gaussians2d, features, mapping)
-    residuals = (gaussians2d, features, image_tiled, mapping)
+    rows = _rows_chunked(mapping, gaussians2d, features)
+    image_tiled, vis_chunked = kernels.forward(
+        rows, mapping.chunk_to_tile, config, num_tiles, tiles_wide)
+    residuals = (rows, image_tiled, mapping)
     return (image_tiled, vis_chunked), residuals
 
   def bwd(residuals, cotangents):
-    gaussians2d, features, image_tiled, mapping = residuals
+    rows, image_tiled, mapping = residuals
     g_image_tiled, _g_vis = cotangents   # visibility is non-differentiable
 
-    # rematerialise the chunked gather (memory: transient only)
-    pts_chunked, feats_chunked = _gather_chunked(
-        gaussians2d, features, mapping.point_id_chunked, n, f)
+    gout = kernels.backward(
+        rows, image_tiled, g_image_tiled, mapping.chunk_to_tile, config,
+        num_tiles, tiles_wide)
 
-    g_pts, g_feats, heur = kernels.backward(
-        pts_chunked, feats_chunked, image_tiled, g_image_tiled,
-        mapping.chunk_to_tile, mapping.chunk_src, config, num_tiles,
-        tiles_wide)
-
-    # reduce per-overlap gradients to points in ONE combined pass, keeping
-    # only live columns — the reduction cost is proportional to width
+    # reduce per-overlap gradients to points in ONE combined pass
     # (replaces the reference's warp-reduced atomics, backward.py:199-224)
-    cols = [g_pts[:, :7], g_feats[:, :f]]   # drop pad + constant-one channel
-    if config.compute_point_heuristic:
-      cols.append(heur)
-    reduced = reduce_aligned_to_points(jnp.concatenate(cols, -1), mapping)
+    pid = _pid_chunked(mapping)
+    reduced = reduce_chunked_to_points(gout, pid, n)
     g_gaussians2d = reduced[:, :7]
     g_features = reduced[:, 7:7 + f]
     if config.compute_point_heuristic:
-      heur_n = reduced[:, 7 + f:]
+      heur_n = reduced[:, 7 + f:7 + f + 2]
     else:
-      heur_n = jnp.zeros((n, 2), gaussians2d.dtype)
+      heur_n = jnp.zeros((n, 2), g_gaussians2d.dtype)
 
-    return (g_gaussians2d, g_features, heur_n.astype(gaussians2d.dtype),
+    return (g_gaussians2d, g_features.astype(g_gaussians2d.dtype),
+            heur_n.astype(g_gaussians2d.dtype),
             jax.tree.map(_float0, mapping))
 
   raster.defvjp(fwd, bwd)
@@ -171,6 +174,11 @@ def rasterize_with_tiles(
     heuristic_probe: Optional[jnp.ndarray] = None,   # (N, 2)
 ) -> RasterOut:
   """Rasterize with a precomputed tile mapping (reference function.py:100-131).
+
+  If the mapping was built with ``features`` (the fast path used by
+  ``rasterize``/``render_gaussians``), its sorted payload feeds the kernels
+  directly; otherwise the rows are gathered from the arguments.  Callers
+  must pass the same arrays the mapping was built from.
 
   ``heuristic_probe`` is an all-zeros (N, 2) array; its gradient under any
   loss equals the reference's point heuristics (prune_cost, split_score).
@@ -204,8 +212,11 @@ def rasterize_with_tiles(
 
   visibility = None
   if config.compute_visibility or config.compute_point_heuristic:
-    visibility = jax.lax.stop_gradient(
-        reduce_aligned_to_points(vis_chunked, mapping)[:, 0])
+    pid = _pid_chunked(mapping)
+    # stop the gradient BEFORE the reduction: the scalar-prefetch Pallas
+    # kernels have no JVP rule, and visibility is non-differentiable anyway
+    visibility = reduce_chunked_to_points(
+        jax.lax.stop_gradient(vis_chunked), pid, n)[:, 0]
 
   return RasterOut(image=image, image_weight=image_alpha,
                    point_heuristic=None, visibility=visibility)
@@ -222,7 +233,8 @@ def rasterize(gaussians2d: jnp.ndarray, depth: jnp.ndarray,
   mapping = map_to_tiles(
       jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(depth),
       image_size=image_size, config=config, max_overlaps=max_overlaps,
-      use_depth16=use_depth16)
+      use_depth16=use_depth16,
+      features=jax.lax.stop_gradient(features))
 
   return rasterize_with_tiles(
       gaussians2d, features, mapping, image_size=image_size, config=config,

@@ -8,40 +8,42 @@ cooperation nor cheap global atomics exist on TPU, so the computation is
 re-architected as a **pipelined scan over fixed-size overlap chunks**
 (flash-attention style):
 
-* The tile mapper lays overlaps out chunk-aligned: every chunk of
-  ``G = chunk_size`` overlap slots belongs to exactly one tile, chunks of a
-  tile are consecutive, and null slots have alpha 0 (compositing no-ops).
+* The tile mapper sorts overlaps tile-major/depth-ordered with the point
+  and feature rows riding the sort; the window-copy kernel (layout.py) lays
+  them out chunk-aligned: every chunk of ``G = chunk_size`` overlap slots
+  belongs to exactly one tile, chunks of a tile are consecutive, and null
+  slots are all-zero rows (alpha 0 => compositing no-ops).
 
-* The Pallas grid iterates chunks.  Block index maps are driven by
-  scalar-prefetched ``chunk_to_tile`` / ``chunk_src`` arrays, so input
-  blocks stream linearly from HBM (auto double-buffered) and each output
-  image block stays resident in VMEM while its tile's chunks are processed
-  (revisiting semantics).  Per-tile transmittance state lives in VMEM
-  scratch, re-initialised at tile boundaries.
+* The Pallas grid iterates chunks.  Inputs stream linearly from HBM (auto
+  double-buffered); each output image block stays resident in VMEM while
+  its tile's chunks are processed (revisiting semantics).  Per-tile
+  transmittance state lives in VMEM scratch, re-seeded at tile boundaries.
 
 * **The MXU does the heavy lifting** (a v5e has ~20x more MXU than VPU
-  throughput): the gaussian-frame coordinates of all G points at all
-  tile pixels are linear forms evaluated as ``(G,4) @ (4,PIX)`` matmuls in
-  tile-local coordinates; feature compositing is a ``(G,F) x (G,PIX)``
+  throughput): the log-pdf of all G points at all tile pixels is a single
+  quadratic form ``(G,6) @ (6,PIX)`` over the monomial basis
+  [px^2, px*py, py^2, px, py, 1] in tile-local coordinates — point alpha is
+  folded into the constant term so ONE matmul + ONE exp yields the
+  compositing alpha; feature compositing is a ``(G,F) x (G,PIX)``
   contraction; and every per-point gradient reduction in the backward is
   factored through pixel moments ``(G,PIX) @ (PIX,3)`` instead of
   elementwise (G,PIX) chains.
 
 * Sequential alpha compositing over a chunk is vectorised in closed form:
-  the exclusive transmittance product is a log-depth Hillis-Steele scan.
-  Saturation is a transmittance **freeze** (``T <= 1 - saturate_threshold``
-  masks all later contributions), giving a closed-form forward that is
-  exactly consistent with the backward — the reference's backward applies
-  this stop (backward.py:154-160) while its forward does not.  Fully
-  saturated tiles skip the remaining chunks' compute entirely (exact: the
-  freeze mask already zeroes them).
+  the exclusive transmittance product is a log-depth Hillis-Steele scan,
+  seeded directly with the carried transmittance.  Saturation is a
+  transmittance **freeze** (``T <= 1 - saturate_threshold`` masks all later
+  contributions), giving a closed-form forward that is exactly consistent
+  with the backward — the reference's backward applies this stop
+  (backward.py:154-160) while its forward does not.  Fully saturated tiles
+  skip the remaining chunks' compute entirely.
 
 * The backward re-derives per-point gradients with the reference's
   "remaining feature" trick (backward.py:166-196) in scan form: a running
   ``s = sum_c g * remaining`` scalar per pixel replaces the per-pixel
   remaining-feature vectors, so no (G, PIX, F) tensor is ever materialised.
-  Per-overlap gradients are written contiguously (no atomics) and
-  segment-summed to points outside the kernel.
+  Per-overlap gradients are written contiguously (no atomics) and reduced
+  to points by the sorted-segment-sum kernel (layout.py) outside.
 """
 
 from __future__ import annotations
@@ -62,17 +64,18 @@ def use_interpret() -> bool:
   return jax.default_backend() == "cpu"
 
 
-def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
-  """Shift rows down by ``s`` along the sublane axis, filling with ``fill``."""
-  pad = jnp.full((s, x.shape[1]), fill, x.dtype)
+def _shift_down(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+  """Shift rows down by ``s`` along the sublane axis, filling with ``fill``
+  (a scalar or a broadcastable (1, PIX) row)."""
+  pad = jnp.broadcast_to(fill, (s, x.shape[1])).astype(x.dtype)
   return jnp.concatenate([pad, x[:-s]], 0)
 
 
-def _cumprod_excl(x: jnp.ndarray) -> jnp.ndarray:
-  """Exclusive cumulative product along axis 0 (depth), log-depth
-  Hillis-Steele scan — O(G log G) VPU work."""
+def _cumprod_excl(x: jnp.ndarray, seed) -> jnp.ndarray:
+  """Seeded exclusive cumulative product along axis 0 (depth):
+  out_i = seed * prod_{j<i} x_j.  Log-depth Hillis-Steele scan."""
   g = x.shape[0]
-  y = _shift_down(x, 1, 1.0)
+  y = _shift_down(x, 1, seed)
   s = 1
   while s < g:
     y = y * _shift_down(y, s, 1.0)
@@ -102,10 +105,10 @@ def _pixel_basis(pix: int, tile_size: int, dtype):
   """Tile-local pixel-centre basis rows.
 
   Returns (pxl (1,PIX), pyl (1,PIX), basis4 (4,PIX) rows [pxl, pyl, 1, 0],
-  basis3 (3,PIX) rows [pxl, pyl, 1]).  Local coordinates keep the linear
-  forms numerically tight (global pixel coords would cancel catastrophically
-  in f32).
-  """
+  basis3 (3,PIX) rows [pxl, pyl, 1], basis6 (6,PIX) rows
+  [pxl^2, pxl*pyl, pyl^2, pxl, pyl, 1]).  Local coordinates keep the
+  quadratic form numerically tight (global pixel coords would cancel
+  catastrophically in f32)."""
   p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
   pxl = (p % tile_size).astype(dtype) + 0.5
   pyl = (p // tile_size).astype(dtype) + 0.5
@@ -113,49 +116,65 @@ def _pixel_basis(pix: int, tile_size: int, dtype):
   zero = jnp.zeros((1, pix), dtype)
   basis4 = jnp.concatenate([pxl, pyl, one, zero], 0)
   basis3 = jnp.concatenate([pxl, pyl, one], 0)
-  return pxl, pyl, basis4, basis3
+  basis6 = jnp.concatenate([pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl, one],
+                           0)
+  return pxl, pyl, basis4, basis3, basis6
 
 
-def _point_coeffs(pts_ref, t, tile_size: int, tiles_wide: int, dtype):
-  """Per-point linear-form coefficients in tile-local coordinates.
-
-  u = (d . axis) / sx and v = (d . perp(axis)) / sy (generic.py:311-317)
-  become u = lu @ [pxl, pyl, 1, 0], v = lv @ [...] with the tile origin
-  folded into the mean.  Returns per-point (G,1) columns and the (G,4)
-  coefficient matrices.
-  """
+def _unpack_rows(rows, t, tile_size: int, tiles_wide: int, dtype):
+  """Split a (G, 7+F) chunk into components, mean in tile-local coords."""
   ox = ((t % tiles_wide) * tile_size).astype(dtype)
   oy = ((t // tiles_wide) * tile_size).astype(dtype)
+  mlx = rows[:, 0:1] - ox
+  mly = rows[:, 1:2] - oy
+  ax = rows[:, 2:3]
+  ay = rows[:, 3:4]
+  sx = rows[:, 4:5]
+  sy = rows[:, 5:6]
+  point_alpha = rows[:, 6:7]
+  feats = rows[:, 7:]
+  return mlx, mly, ax, ay, sx, sy, point_alpha, feats
 
-  mlx = pts_ref[:, 0:1] - ox          # mean in tile-local coords
-  mly = pts_ref[:, 1:2] - oy
-  ax = pts_ref[:, 2:3]
-  ay = pts_ref[:, 3:4]
-  # null padding slots are all-zero; guard sigma against 0/0 -> NaN
-  isx = 1.0 / jnp.maximum(pts_ref[:, 4:5], 1e-12)
-  isy = 1.0 / jnp.maximum(pts_ref[:, 5:6], 1e-12)
-  point_alpha = pts_ref[:, 6:7]
 
+def _qf_alpha_raw(mlx, mly, ax, ay, sx, sy, point_alpha, basis6):
+  """Raw compositing alpha ``point_alpha * pdf`` as ONE matmul + ONE exp.
+
+  -0.5(u^2+v^2) is a quadratic polynomial in pixel coords; log point_alpha
+  folds into the constant term.  Null (all-zero) rows produce
+  exp(log 1e-30) ~ 0, i.e. compositing no-ops."""
+  isx2 = 1.0 / jnp.maximum(sx * sx, 1e-24)
+  isy2 = 1.0 / jnp.maximum(sy * sy, 1e-24)
+  a2 = ax * ax
+  b2 = ay * ay
+  cxx = -0.5 * (a2 * isx2 + b2 * isy2)
+  cyy = -0.5 * (b2 * isx2 + a2 * isy2)
+  cxy = -(ax * ay * (isx2 - isy2))
+  c_px = -(2.0 * cxx * mlx + cxy * mly)
+  c_py = -(2.0 * cyy * mly + cxy * mlx)
+  c_1 = (cxx * mlx * mlx + cxy * mlx * mly + cyy * mly * mly
+         + jnp.log(jnp.maximum(point_alpha, 1e-30)))
+  lq = jnp.concatenate([cxx, cxy, cyy, c_px, c_py, c_1], -1)   # (G, 6)
+  return jnp.exp(_mm(lq, basis6))
+
+
+def _lin_uv(mlx, mly, ax, ay, sx, sy, scale: bool):
+  """(G,4) coefficients of the linear forms u, v over [pxl, pyl, 1, 0].
+
+  With ``scale`` the 1/sigma factors are applied (standard frame coords);
+  without, u/v are unscaled (antialias S_sig form)."""
+  isx = 1.0 / jnp.maximum(sx, 1e-12) if scale else jnp.ones_like(sx)
+  isy = 1.0 / jnp.maximum(sy, 1e-12) if scale else jnp.ones_like(sy)
   zeros = jnp.zeros_like(ax)
   lu = jnp.concatenate(
       [ax * isx, ay * isx, -(mlx * ax + mly * ay) * isx, zeros], -1)
   lv = jnp.concatenate(
       [-ay * isy, ax * isy, (mlx * ay - mly * ax) * isy, zeros], -1)
-  return mlx, mly, ax, ay, isx, isy, point_alpha, lu, lv
+  return lu, lv
 
 
-def _alphas(lu, lv, basis4, point_alpha, config, antialias_sigma=None):
-  """u, v via MXU; pdf + clamped/thresholded alpha (forward.py:97-101)."""
-  u = _mm(lu, basis4)                  # (G, PIX)
-  v = _mm(lv, basis4)
-  if antialias_sigma is None:
-    p = jnp.exp(-0.5 * (u * u + v * v))
-  else:
-    sx, sy = antialias_sigma           # (G,1) each; u,v are *unscaled* here
-    p = _antialias_pdf(u, v, sx, sy)
-  a = jnp.minimum(point_alpha * p, config.clamp_max_alpha)
-  a = jnp.where(a > config.alpha_threshold, a, 0.0)
-  return u, v, p, a
+def _clamp_threshold(a_raw, config):
+  return jnp.where(a_raw > config.alpha_threshold,
+                   jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
 
 
 def _s_sig(x, s):
@@ -175,10 +194,9 @@ def _antialias_pdf(tu, tv, sx, sy):
 # ---------------------------------------------------------------------------
 
 
-def _forward_kernel(ct_ref, cs_ref, pts_ref, feat_ref,
-                    img_ref, vis_ref, t_run_ref,
+def _forward_kernel(ct_ref, rows_ref, img_ref, vis_ref, t_run_ref,
                     *, config: RasterConfig, num_tiles: int, tiles_wide: int,
-                    f_total: int):
+                    f: int):
   g = config.chunk_size
   pix = config.tile_area
   dtype = img_ref.dtype
@@ -201,35 +219,32 @@ def _forward_kernel(ct_ref, cs_ref, pts_ref, feat_ref,
 
   @pl.when(active)
   def _():
-    _, _, basis4, _ = _pixel_basis(pix, config.tile_size, dtype)
-    (mlx, mly, ax, ay, isx, isy, point_alpha, lu,
-     lv) = _point_coeffs(pts_ref, t, config.tile_size, tiles_wide, dtype)
+    _, _, basis4, _, basis6 = _pixel_basis(pix, config.tile_size, dtype)
+    (mlx, mly, ax, ay, sx, sy, point_alpha,
+     feats) = _unpack_rows(rows_ref[...], t, config.tile_size, tiles_wide,
+                           dtype)
 
     if config.antialias:
-      # antialias uses unscaled frame coords: strip the 1/sigma factors
-      sx = pts_ref[:, 4:5]
-      sy = pts_ref[:, 5:6]
-      lu_r = lu * sx
-      lv_r = lv * sy
-      _, _, p, a = _alphas(lu_r, lv_r, basis4, point_alpha, config,
-                           antialias_sigma=(sx, sy))
+      # antialias uses unscaled frame coords + the S_sig integral
+      lu, lv = _lin_uv(mlx, mly, ax, ay, sx, sy, scale=False)
+      tu = _mm(lu, basis4)
+      tv = _mm(lv, basis4)
+      a_raw = point_alpha * _antialias_pdf(tu, tv, sx, sy)
     else:
-      _, _, p, a = _alphas(lu, lv, basis4, point_alpha, config)
+      a_raw = _qf_alpha_raw(mlx, mly, ax, ay, sx, sy, point_alpha, basis6)
+
+    a = _clamp_threshold(a_raw, config)
 
     t_in = jnp.where(is_first, jnp.ones((1, pix), dtype), t_run_ref[...])
-
     one_minus = 1.0 - a
-    e_excl = _cumprod_excl(one_minus)                     # prod_{j<i}(1-a_j)
-    t_i = t_in * e_excl                                   # exclusive T
-    t_end = t_in * (e_excl[g - 1:g, :] * one_minus[g - 1:g, :])
-
-    feats = feat_ref[...]                                 # (G, F_total)
+    t_i = _cumprod_excl(one_minus, t_in)        # seed folds t_in in
+    t_end = t_i[g - 1:g, :] * one_minus[g - 1:g, :]
 
     if config.use_alpha_blending:
       cut_b = 1.0 - config.saturate_threshold
-      mask = (t_i > cut_b).astype(dtype)
-      w = a * t_i * mask                                  # (G, PIX)
-      contrib = _mm(feats, w, contract=((0,), (0,)))      # (F_total, PIX)
+      w = jnp.where(t_i > cut_b, a * t_i, 0.0)  # freeze-masked weight
+      contrib = _mm(feats, w, contract=((0,), (0,)))        # (F, PIX)
+      alpha_row = jnp.sum(w, 0, keepdims=True)              # (1, PIX)
       # frozen transmittance carry (first crossing, closed form)
       t_new = jnp.maximum(
           t_end, jnp.max(jnp.where(t_i <= cut_b, t_i, 0.0), 0, keepdims=True))
@@ -239,23 +254,28 @@ def _forward_kernel(ct_ref, cs_ref, pts_ref, feat_ref,
       t_incl = t_i * one_minus
       sel = ((t_incl <= config.saturate_threshold)
              & (t_i > config.saturate_threshold)).astype(dtype)
-      w = a * t_i                                         # unfrozen weights
+      w = a * t_i                                           # unfrozen weights
       contrib = _mm(feats, sel, contract=((0,), (0,)))
       t_new = t_end
+      alpha_row = None
 
     @pl.when(is_first)
     def _():
-      img_ref[0] = contrib
+      img_ref[0, :f, :] = contrib
+      if config.use_alpha_blending:
+        img_ref[0, f:f + 1, :] = alpha_row
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-      img_ref[0] += contrib
+      img_ref[0, :f, :] += contrib
+      if config.use_alpha_blending:
+        img_ref[0, f:f + 1, :] += alpha_row
 
     if not config.use_alpha_blending:
       # alpha channel in quantile mode: hit mask (forward.py:135)
-      img_ref[0, f_total - 1:f_total, :] = (t_new < 1.0).astype(dtype)
+      img_ref[0, f:f + 1, :] = (t_new < 1.0).astype(dtype)
 
-    vis_ref[...] = jnp.sum(w, 1, keepdims=True)           # (G, 1)
+    vis_ref[...] = jnp.sum(w, 1, keepdims=True)             # (G, 1)
     t_run_ref[...] = t_new
 
   @pl.when(jnp.logical_not(active))
@@ -263,39 +283,35 @@ def _forward_kernel(ct_ref, cs_ref, pts_ref, feat_ref,
     vis_ref[...] = jnp.zeros(vis_ref.shape, vis_ref.dtype)
 
 
-def forward(points_chunked: jnp.ndarray,     # (A, 8)
-            features_chunked: jnp.ndarray,   # (A, F+1) last channel = 1
-            chunk_to_tile: jnp.ndarray,      # (K,)
-            chunk_src: jnp.ndarray,          # (K,)
+def forward(rows_chunked: jnp.ndarray,     # (A, 7+F)
+            chunk_to_tile: jnp.ndarray,    # (K,)
             config: RasterConfig, num_tiles: int, tiles_wide: int,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Rasterize chunked overlaps.
+  """Rasterize chunk-aligned overlap rows.
 
   Returns:
     image_tiled: (num_tiles + 1, F+1, tile_area); channel F is alpha, the
       last tile row is the dummy slot.
     vis_chunked: (A, 1) per-overlap blend weight sums.
   """
-  a_cap, f_total = features_chunked.shape
+  a_cap, width = rows_chunked.shape
+  f = width - 7
   g = config.chunk_size
   pix = config.tile_area
   k_chunks = chunk_to_tile.shape[0]
-  dtype = points_chunked.dtype
+  dtype = rows_chunked.dtype
 
   kernel = functools.partial(
       _forward_kernel, config=config, num_tiles=num_tiles,
-      tiles_wide=tiles_wide, f_total=f_total)
+      tiles_wide=tiles_wide, f=f)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=2,
+      num_scalar_prefetch=1,
       grid=(k_chunks,),
-      in_specs=[
-          pl.BlockSpec((g, 8), lambda k, ct, cs: (cs[k], 0)),
-          pl.BlockSpec((g, f_total), lambda k, ct, cs: (cs[k], 0)),
-      ],
+      in_specs=[pl.BlockSpec((g, width), lambda k, ct: (k, 0))],
       out_specs=[
-          pl.BlockSpec((1, f_total, pix), lambda k, ct, cs: (ct[k], 0, 0)),
-          pl.BlockSpec((g, 1), lambda k, ct, cs: (k, 0)),
+          pl.BlockSpec((1, f + 1, pix), lambda k, ct: (ct[k], 0, 0)),
+          pl.BlockSpec((g, 1), lambda k, ct: (k, 0)),
       ],
       scratch_shapes=[pltpu.VMEM((1, pix), dtype)],
   )
@@ -304,11 +320,11 @@ def forward(points_chunked: jnp.ndarray,     # (A, 8)
       kernel,
       grid_spec=grid_spec,
       out_shape=[
-          jax.ShapeDtypeStruct((num_tiles + 1, f_total, pix), dtype),
+          jax.ShapeDtypeStruct((num_tiles + 1, f + 1, pix), dtype),
           jax.ShapeDtypeStruct((a_cap, 1), dtype),
       ],
       interpret=use_interpret(),
-  )(chunk_to_tile, chunk_src, points_chunked, features_chunked)
+  )(chunk_to_tile, rows_chunked)
 
   return image_tiled, vis_chunked
 
@@ -318,15 +334,16 @@ def forward(points_chunked: jnp.ndarray,     # (A, 8)
 # ---------------------------------------------------------------------------
 
 
-def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
-                     gpts_ref, gfeat_ref, heur_ref,
+def _backward_kernel(ct_ref, rows_ref, img_ref, gimg_ref,
+                     gout_ref,
                      t_run_ref, s_run_ref,
                      *, config: RasterConfig, num_tiles: int, tiles_wide: int,
-                     f_total: int):
+                     f: int):
   g = config.chunk_size
   pix = config.tile_area
-  dtype = gpts_ref.dtype
+  dtype = gout_ref.dtype
   cut = 1.0 - config.saturate_threshold
+  heur = config.compute_point_heuristic
 
   k = pl.program_id(0)
   t = ct_ref[k]
@@ -339,31 +356,34 @@ def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
 
   @pl.when(jnp.logical_not(active))
   def _():
-    gpts_ref[...] = jnp.zeros(gpts_ref.shape, gpts_ref.dtype)
-    gfeat_ref[...] = jnp.zeros(gfeat_ref.shape, gfeat_ref.dtype)
-    heur_ref[...] = jnp.zeros(heur_ref.shape, heur_ref.dtype)
+    gout_ref[...] = jnp.zeros(gout_ref.shape, gout_ref.dtype)
 
   @pl.when(active)
   def _():
-    pxl, pyl, basis4, basis3 = _pixel_basis(pix, config.tile_size, dtype)
-    (mlx, mly, ax, ay, isx, isy, point_alpha, lu,
-     lv) = _point_coeffs(pts_ref, t, config.tile_size, tiles_wide, dtype)
+    pxl, pyl, basis4, basis3, basis6 = _pixel_basis(
+        pix, config.tile_size, dtype)
+    (mlx, mly, ax, ay, sx, sy, point_alpha,
+     feats) = _unpack_rows(rows_ref[...], t, config.tile_size, tiles_wide,
+                           dtype)
 
     antialias = config.antialias
     if antialias:
-      sx = pts_ref[:, 4:5]
-      sy = pts_ref[:, 5:6]
-      lu_r = lu * sx
-      lv_r = lv * sy
-      tu, tv, p, a = _alphas(lu_r, lv_r, basis4, point_alpha, config,
-                             antialias_sigma=(sx, sy))
+      lu_r, lv_r = _lin_uv(mlx, mly, ax, ay, sx, sy, scale=False)
+      tu = _mm(lu_r, basis4)
+      tv = _mm(lv_r, basis4)
+      a_raw = point_alpha * _antialias_pdf(tu, tv, sx, sy)
     else:
-      u, v, p, a = _alphas(lu, lv, basis4, point_alpha, config)
+      lu, lv = _lin_uv(mlx, mly, ax, ay, sx, sy, scale=True)
+      isx = 1.0 / jnp.maximum(sx, 1e-12)
+      isy = 1.0 / jnp.maximum(sy, 1e-12)
+      u = _mm(lu, basis4)
+      v = _mm(lv, basis4)
+      a_raw = _qf_alpha_raw(mlx, mly, ax, ay, sx, sy, point_alpha, basis6)
 
-    clamp_live = (point_alpha * p < config.clamp_max_alpha).astype(dtype)
-    thresh = (a > 0.0).astype(dtype)
+    a = _clamp_threshold(a_raw, config)
+    clamp_live = (a_raw < config.clamp_max_alpha).astype(dtype)
 
-    gimg = gimg_ref[0]                                    # (F_total, PIX)
+    gimg = gimg_ref[0]                                    # (F+1, PIX)
     img = img_ref[0]
 
     t_in = jnp.where(is_first, jnp.ones((1, pix), dtype), t_run_ref[...])
@@ -372,40 +392,41 @@ def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
 
     # replay the forward compositing
     one_minus = 1.0 - a
-    e_excl = _cumprod_excl(one_minus)
-    t_i = t_in * e_excl
-    t_end = t_in * (e_excl[g - 1:g, :] * one_minus[g - 1:g, :])
+    t_i = _cumprod_excl(one_minus, t_in)
+    t_end = t_i[g - 1:g, :] * one_minus[g - 1:g, :]
 
-    mask = (t_i > cut).astype(dtype) * thresh
+    mask = ((t_i > cut) & (a > 0.0)).astype(dtype)
     w = a * t_i * mask
 
-    feats = feat_ref[...]                                 # (G, F_total)
-    gf = _mm(feats, gimg)                                 # (G, PIX)
+    # gf = d(pixel)/d(weight): feature channels + the alpha image channel
+    gf = _mm(feats, gimg[:f]) + gimg[f:f + 1]             # (G, PIX)
 
     wgf = w * gf
-    # s_i = sum_c g * remaining_i  (inclusive: current point subtracted)
+    # s_i = sum_c g * remaining  (inclusive: current point subtracted)
     s_i = s_in - _cumsum_incl(wgf)
 
     alpha_grad = (t_i * gf - s_i / one_minus) * mask      # (G, PIX)
 
     # gradient w.r.t. the packed gaussian (backward.py:180-194), factored
     # through pixel moments so the reductions ride the MXU:
-    #   z0 = aag * p,  zu = z0 * u,  zv = z0 * v
+    #   z0 = alpha_grad * clamp_live * a_raw (= pa * pdf * alpha_grad),
+    #   zu = z0 * u,  zv = z0 * v
     #   each needs (sum, sum*pxl, sum*pyl) -> (G,3) = Z @ basis3^T
-    aag = point_alpha * alpha_grad * clamp_live           # -> pdf p
-    z0 = aag * p
+    z0 = alpha_grad * clamp_live * a_raw
     if antialias:
       # antialias gradients don't factor through u/v moments; use the
       # closed forms (generic.py:371-404) with explicit (G,PIX) chains
+      aag = point_alpha * alpha_grad * clamp_live
       dmx, dmy, dax, day, dsx, dsy = _antialias_grads(
           tu, tv, sx, sy, pxl - mlx, pyl - mly, ax, ay)
-      gpts_ref[:, 0:1] = jnp.sum(aag * dmx, 1, keepdims=True)
-      gpts_ref[:, 1:2] = jnp.sum(aag * dmy, 1, keepdims=True)
-      gpts_ref[:, 2:3] = jnp.sum(aag * dax, 1, keepdims=True)
-      gpts_ref[:, 3:4] = jnp.sum(aag * day, 1, keepdims=True)
-      gpts_ref[:, 4:5] = jnp.sum(aag * dsx, 1, keepdims=True)
-      gpts_ref[:, 5:6] = jnp.sum(aag * dsy, 1, keepdims=True)
-      split_px = jnp.abs(aag * dmx) + jnp.abs(aag * dmy)
+      g_mx = jnp.sum(aag * dmx, 1, keepdims=True)
+      g_my = jnp.sum(aag * dmy, 1, keepdims=True)
+      g_ax = jnp.sum(aag * dax, 1, keepdims=True)
+      g_ay = jnp.sum(aag * day, 1, keepdims=True)
+      g_sx = jnp.sum(aag * dsx, 1, keepdims=True)
+      g_sy = jnp.sum(aag * dsy, 1, keepdims=True)
+      if heur:
+        split_px = jnp.abs(aag * dmx) + jnp.abs(aag * dmy)
     else:
       zu = z0 * u
       zv = z0 * v
@@ -416,41 +437,40 @@ def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
       sv, sv_px, sv_py = mv[:, 2:3], mv[:, 0:1], mv[:, 1:2]
 
       # dp/dmean = p(u isx ax - v isy ay, u isx ay + v isy ax)
-      gpts_ref[:, 0:1] = ax * isx * su - ay * isy * sv
-      gpts_ref[:, 1:2] = ay * isx * su + ax * isy * sv
+      g_mx = ax * isx * su - ay * isy * sv
+      g_my = ay * isx * su + ax * isy * sv
       # dp/daxis = p(-u isx dx - v isy dy, -u isx dy + v isy dx),
       # with sum(z*dx) = sum(z*pxl) - mlx*sum(z)
       su_dx = su_px - mlx * su
       su_dy = su_py - mly * su
       sv_dx = sv_px - mlx * sv
       sv_dy = sv_py - mly * sv
-      gpts_ref[:, 2:3] = -isx * su_dx - isy * sv_dy
-      gpts_ref[:, 3:4] = -isx * su_dy + isy * sv_dx
+      g_ax = -isx * su_dx - isy * sv_dy
+      g_ay = -isx * su_dy + isy * sv_dx
       # dp/dsigma = p u^2 isx : sum(zu*u) via u's linear form
       suu = lu[:, 0:1] * su_px + lu[:, 1:2] * su_py + lu[:, 2:3] * su
       svv = lv[:, 0:1] * sv_px + lv[:, 1:2] * sv_py + lv[:, 2:3] * sv
-      gpts_ref[:, 4:5] = isx * suu
-      gpts_ref[:, 5:6] = isy * svv
+      g_sx = isx * suu
+      g_sy = isy * svv
 
-      if config.compute_point_heuristic:
-        dmx = p * (u * (isx * ax) - v * (isy * ay))
-        dmy = p * (u * (isx * ay) + v * (isy * ax))
-        split_px = jnp.abs(aag * dmx) + jnp.abs(aag * dmy)
+      if heur:
+        dmx_u = u * (isx * ax) - v * (isy * ay)
+        dmy_u = u * (isx * ay) + v * (isy * ax)
+        split_px = jnp.abs(z0 * dmx_u) + jnp.abs(z0 * dmy_u)
 
-    # grad w.r.t. point alpha: sum p * alpha_grad * mask * clamp
-    gpts_ref[:, 6:7] = jnp.sum(z0, 1, keepdims=True) / jnp.maximum(
-        point_alpha, 1e-20)
-    gpts_ref[:, 7:8] = jnp.zeros((g, 1), dtype)
+    # grad w.r.t. point alpha: sum pdf * alpha_grad * clamp = sum(z0)/pa
+    g_pa = jnp.sum(z0, 1, keepdims=True) / jnp.maximum(point_alpha, 1e-20)
 
     # feature gradient: sum_px w * g  (backward.py:196-197)
-    gfeat_ref[...] = _mm(w, gimg, contract=((1,), (1,)))  # (G, F_total)
+    g_feats = _mm(w, gimg[:f], contract=((1,), (1,)))     # (G, F)
 
-    if config.compute_point_heuristic:
+    cols = [g_mx, g_my, g_ax, g_ay, g_sx, g_sy, g_pa, g_feats]
+    if heur:
       aag_h = point_alpha * alpha_grad                    # reference form
-      heur_ref[:, 0:1] = jnp.sum(aag_h * aag_h, 1, keepdims=True)
-      heur_ref[:, 1:2] = jnp.sum(split_px, 1, keepdims=True)
-    else:
-      heur_ref[...] = jnp.zeros(heur_ref.shape, heur_ref.dtype)
+      prune = jnp.sum(aag_h * aag_h, 1, keepdims=True)
+      split = jnp.sum(split_px, 1, keepdims=True)
+      cols += [prune, split]
+    gout_ref[...] = jnp.concatenate(cols, -1)
 
     t_new = jnp.maximum(
         t_end, jnp.max(jnp.where(t_i <= cut, t_i, 0.0), 0, keepdims=True))
@@ -461,6 +481,10 @@ def _backward_kernel(ct_ref, cs_ref, pts_ref, feat_ref, img_ref, gimg_ref,
 def _antialias_grads(tu, tv, sx, sy, dx, dy, ax, ay):
   """Anti-aliased pdf gradients (generic.py:371-404); all (G,PIX)."""
   tau = 2.0 * jnp.pi
+  # null padding rows have sigma 0: clamp so z stays finite (their huge z
+  # drives s to exactly 0/1 and every gradient term to exactly 0, not NaN)
+  sx = jnp.maximum(sx, 1e-12)
+  sy = jnp.maximum(sy, 1e-12)
 
   def s_grads(x, sig):
     z = x / sig
@@ -489,51 +513,47 @@ def _antialias_grads(tu, tv, sx, sy, dx, dy, ax, ay):
   return dmx, dmy, dax, day, dsx_, dsy_
 
 
-def backward(points_chunked: jnp.ndarray, features_chunked: jnp.ndarray,
-             image_tiled: jnp.ndarray, g_image_tiled: jnp.ndarray,
-             chunk_to_tile: jnp.ndarray, chunk_src: jnp.ndarray,
+def backward(rows_chunked: jnp.ndarray, image_tiled: jnp.ndarray,
+             g_image_tiled: jnp.ndarray, chunk_to_tile: jnp.ndarray,
              config: RasterConfig, num_tiles: int, tiles_wide: int):
-  """Backward pass: per-overlap gradients (to be segment-summed by caller).
+  """Backward pass: per-overlap gradients, to be reduced to points by the
+  caller (sorted-segment-sum, layout.py).
 
-  Returns (grad_points_chunked (A, 8), grad_features_chunked (A, F+1),
-           heuristics_chunked (A, 2)).
+  Returns (A, 7 + F [+ 2]) gradient rows: [mean, axis, sigma, alpha,
+  features(, prune_cost, split_score)].
   """
-  a_cap, f_total = features_chunked.shape
+  a_cap, width = rows_chunked.shape
+  f = width - 7
   g = config.chunk_size
   pix = config.tile_area
   k_chunks = chunk_to_tile.shape[0]
-  dtype = points_chunked.dtype
+  dtype = rows_chunked.dtype
+  out_width = width + (2 if config.compute_point_heuristic else 0)
 
   kernel = functools.partial(
       _backward_kernel, config=config, num_tiles=num_tiles,
-      tiles_wide=tiles_wide, f_total=f_total)
+      tiles_wide=tiles_wide, f=f)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=2,
+      num_scalar_prefetch=1,
       grid=(k_chunks,),
       in_specs=[
-          pl.BlockSpec((g, 8), lambda k, ct, cs: (cs[k], 0)),
-          pl.BlockSpec((g, f_total), lambda k, ct, cs: (cs[k], 0)),
-          pl.BlockSpec((1, f_total, pix), lambda k, ct, cs: (ct[k], 0, 0)),
-          pl.BlockSpec((1, f_total, pix), lambda k, ct, cs: (ct[k], 0, 0)),
+          pl.BlockSpec((g, width), lambda k, ct: (k, 0)),
+          pl.BlockSpec((1, f + 1, pix), lambda k, ct: (ct[k], 0, 0)),
+          pl.BlockSpec((1, f + 1, pix), lambda k, ct: (ct[k], 0, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((g, 8), lambda k, ct, cs: (k, 0)),
-          pl.BlockSpec((g, f_total), lambda k, ct, cs: (k, 0)),
-          pl.BlockSpec((g, 2), lambda k, ct, cs: (k, 0)),
+          pl.BlockSpec((g, out_width), lambda k, ct: (k, 0)),
       ],
       scratch_shapes=[pltpu.VMEM((1, pix), dtype),
                       pltpu.VMEM((1, pix), dtype)],
   )
 
-  return pl.pallas_call(
+  (gout,) = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=[
-          jax.ShapeDtypeStruct((a_cap, 8), dtype),
-          jax.ShapeDtypeStruct((a_cap, f_total), dtype),
-          jax.ShapeDtypeStruct((a_cap, 2), dtype),
-      ],
+      out_shape=[jax.ShapeDtypeStruct((a_cap, out_width), dtype)],
       interpret=use_interpret(),
-  )(chunk_to_tile, chunk_src, points_chunked, features_chunked,
-    image_tiled, g_image_tiled)
+  )(chunk_to_tile, rows_chunked, image_tiled, g_image_tiled)
+
+  return gout

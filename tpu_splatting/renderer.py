@@ -78,16 +78,17 @@ def render_projected(
   # culled points have depth 0 sentinel -> keep the mapper's invalid mask
   ndc_depths = jnp.where(depths > 0, ndc_depths, 0.0)
 
-  mapping = map_to_tiles(
-      jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(ndc_depths),
-      image_size=camera_params.image_size, config=config,
-      max_overlaps=max_overlaps, use_depth16=use_depth16)
-
   if render_depth:
     # composite (feature, depth, depth^2) in one pass -> expectation depth
     feats_all = jnp.concatenate([features, depths, depths ** 2], -1)
   else:
     feats_all = features
+
+  mapping = map_to_tiles(
+      jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(ndc_depths),
+      image_size=camera_params.image_size, config=config,
+      max_overlaps=max_overlaps, use_depth16=use_depth16,
+      features=jax.lax.stop_gradient(feats_all))
 
   raster = rasterize_with_tiles(
       gaussians2d, feats_all, mapping,
@@ -130,6 +131,49 @@ def render_projected(
       camera=camera_params,
       config=config,
   )
+
+
+def render_with_heuristics(
+    loss_fn,
+    gaussians: Gaussians3D,
+    camera_params: CameraParams,
+    config: RasterConfig = RasterConfig(),
+    **render_kwargs,
+):
+  """Render, evaluate ``loss_fn(rendering)``, and run the backward pass,
+  returning ``(loss, rendering, grads)`` with per-point heuristics populated.
+
+  Parity with the reference, where the backward kernel fills
+  ``point_heuristic`` on the forward output in place
+  (/root/reference/taichi_splatting/rendering.py:41-54,
+  rasterizer/backward.py:190-194) — impossible under jit, so the probe
+  cotangent threading happens here instead of in every trainer:
+  ``rendering.points.prune_cost`` / ``split_score`` are the gradients of a
+  zero-valued probe input computed in the same backward pass as ``grads``.
+
+  Args:
+    loss_fn: Rendering -> scalar loss (may close over targets/regularizers).
+    gaussians / camera_params / config: as for ``render_gaussians``.
+    **render_kwargs: forwarded to ``render_gaussians``.
+
+  Returns:
+    (loss, rendering, grads): grads is a Gaussians3D cotangent pytree.
+  """
+  assert config.compute_point_heuristic, (
+      "render_with_heuristics requires config.compute_point_heuristic")
+  n = gaussians.position.shape[0]
+  probe = jnp.zeros((n, 2), gaussians.position.dtype)
+
+  def wrapped(g, probe):
+    rendering = render_gaussians(g, camera_params, config,
+                                 heuristic_probe=probe, **render_kwargs)
+    return loss_fn(rendering), rendering
+
+  (loss, rendering), (grads, heur) = jax.value_and_grad(
+      wrapped, argnums=(0, 1), has_aux=True)(gaussians, probe)
+  points = rendering.points.replace(
+      _prune_cost=heur[:, 0], _split_score=heur[:, 1])
+  return loss, rendering.replace(points=points), grads
 
 
 def viewspace_gradient(grad_gaussians2d: jnp.ndarray) -> jnp.ndarray:

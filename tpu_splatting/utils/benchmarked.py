@@ -24,39 +24,47 @@ def benchmarked(name: str, f: Callable, args, iters: int = 50,
                 warmup: int = 2, profile: bool = False) -> float:
   """Time ``f(*args)`` on device; returns milliseconds per iteration."""
 
-  def body(carry, _):
-    eps = carry * 1e-30
-    perturbed = []
-    injected = False
-    for a in args:
-      if not injected and hasattr(a, "dtype") and jnp.issubdtype(
-          a.dtype, jnp.floating):
-        perturbed.append(a + eps.astype(a.dtype))
-        injected = True
-      else:
-        perturbed.append(a)
-    out = f(*perturbed)
-    leaf = jax.tree.leaves(out)[0]
-    return leaf.reshape(-1)[0].astype(jnp.float32), None
-
   from functools import partial
 
+  # args are passed as jit ARGUMENTS, not closure captures: captured arrays
+  # become inline HLO constants, which the remote-compile tunnel rejects
+  # (HTTP 413) or uploads very slowly for large inputs
   @partial(jax.jit, static_argnums=0)
-  def run(n_iters):
+  def run(n_iters, *run_args):
+    def body(carry, _):
+      # carry-dependent zero added to EVERY leaf of EVERY argument
+      # (value-preserving): without this, XLA hoists any computation that
+      # does not depend on a perturbed input out of the scan and the bench
+      # measures one run amortised over iters.  Bool leaves xor with False.
+      eps = carry * 1e-30
+
+      def perturb(a):
+        if not hasattr(a, "dtype"):
+          return a
+        if jnp.issubdtype(a.dtype, jnp.floating):
+          return a + eps.astype(a.dtype)
+        if a.dtype == jnp.bool_:
+          return jnp.logical_xor(a, eps != 0)
+        return a + (eps != 0).astype(a.dtype)
+
+      out = f(*jax.tree.map(perturb, run_args))
+      leaf = jax.tree.leaves(out)[0]
+      return leaf.reshape(-1)[0].astype(jnp.float32), None
+
     carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
     return carry
 
   # compile + warmup with the SAME static length as the timed call
   # (a different length would recompile inside the timed region)
   del warmup
-  np.asarray(run(iters))
+  np.asarray(run(iters, *args))
 
   if profile:
     with jax.profiler.trace("/tmp/tpu_splatting_trace"):
-      np.asarray(run(iters))
+      np.asarray(run(iters, *args))
 
   t0 = time.time()
-  np.asarray(run(iters))
+  np.asarray(run(iters, *args))
   ms = (time.time() - t0) / iters * 1000.0
   print(f"{name}: {ms:.3f} ms/iter  ({1000.0 / ms:.1f} it/s)",
         file=sys.stderr)
