@@ -76,7 +76,10 @@ def main():
           file=sys.stderr)
     if overflow == 0:
       break
-    max_overlaps *= 2
+    # grow just past the measured need (oversized capacity pads the chunk
+    # grid with dummies and slows every downstream stage)
+    need = int((max_overlaps + overflow) * 1.1)
+    max_overlaps = ((need + 127) // 128) * 128
   assert overflow == 0, (
       f"benchmark invalid: {overflow} overlaps dropped at capacity "
       f"{max_overlaps}")

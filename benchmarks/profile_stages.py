@@ -15,7 +15,7 @@ import numpy as np
 from tpu_splatting import RasterConfig
 from tpu_splatting.mapper.tile_mapper import map_to_tiles, tile_shape
 from tpu_splatting.rasterizer import kernels
-from tpu_splatting.rasterizer.function import (_pid_chunked, _rows_chunked,
+from tpu_splatting.rasterizer.function import (_kernel_inputs, _pid_chunked,
                                                rasterize_with_tiles,
                                                reduce_chunked_to_points)
 from tpu_splatting.utils.benchmarked import benchmarked
@@ -54,28 +54,25 @@ def main():
   # 1. tile mapper, full (payload riding)
   benchmarked("map_to_tiles", map_f, (packed, depth, feats), iters=it)
 
-  # 2. window copy alone
-  benchmarked("window_copy", lambda m: _rows_chunked(m, packed, feats),
-              (mapping,), iters=it)
+  rows, src, cnt = jax.jit(
+      lambda m: _kernel_inputs(m, packed, feats))(mapping)
 
-  rows = jax.jit(lambda m: _rows_chunked(m, packed, feats))(mapping)
-
-  # 3. forward kernel alone (inputs pre-copied)
-  benchmarked("fwd_kernel", lambda r, ct: kernels.forward(
-      r, ct, config, num_tiles, tw), (rows, mapping.chunk_to_tile),
-      iters=it)
+  # 3. forward kernel (in-kernel window fetch)
+  benchmarked("fwd_kernel", lambda r, s_, c_, ct: kernels.forward(
+      r, s_, c_, ct, config, num_tiles, tw),
+      (rows, src, cnt, mapping.chunk_to_tile), iters=it)
 
   image_tiled, vis = jax.jit(lambda r: kernels.forward(
-      r, mapping.chunk_to_tile, config, num_tiles, tw))(rows)
+      r, src, cnt, mapping.chunk_to_tile, config, num_tiles, tw))(rows)
 
   # 4. backward kernel alone
   g_img = jnp.ones_like(image_tiled)
-  benchmarked("bwd_kernel", lambda r, im, gi, ct: kernels.backward(
-      r, im, gi, ct, config, num_tiles, tw),
-      (rows, image_tiled, g_img, mapping.chunk_to_tile), iters=it)
+  benchmarked("bwd_kernel", lambda r, im, gi, s_, c_, ct: kernels.backward(
+      r, im, gi, s_, c_, ct, config, num_tiles, tw),
+      (rows, image_tiled, g_img, src, cnt, mapping.chunk_to_tile), iters=it)
 
   gout = jax.jit(lambda r, im, gi: kernels.backward(
-      r, im, gi, mapping.chunk_to_tile, config, num_tiles, tw))(
+      r, im, gi, src, cnt, mapping.chunk_to_tile, config, num_tiles, tw))(
           rows, image_tiled, g_img)
 
   # 5. reduction alone (pid sort + sorted segment sum)

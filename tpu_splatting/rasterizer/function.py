@@ -62,24 +62,31 @@ def _float0(x):
   return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _rows_chunked(mapping: TileMapping, gaussians2d, features):
-  """Chunk-aligned (A, 7+F) overlap rows.
+def _kernel_inputs(mapping: TileMapping, gaussians2d, features):
+  """(sorted_rows, chunk_src, chunk_cnt) for the raster kernels.
 
-  Fast path: one window-copy of the mapper's sorted payload.  Fallback
-  (mapping built without features, or with a different feature width —
-  e.g. the median-depth second pass): gather via point_id_chunked."""
+  Fast path: the mapper's sorted payload feeds the kernels directly (the
+  in-kernel window fetch does the chunk layout).  Fallback (mapping built
+  without features, or with a different feature width — e.g. the
+  median-depth second pass): XLA-gather a chunk-aligned buffer and use
+  identity windows."""
   g = mapping.chunk_size
   if (mapping.sorted_payload is not None
       and mapping.feature_size == features.shape[1]):
-    return window_copy(mapping.sorted_payload, mapping.chunk_src,
-                       mapping.chunk_cnt, g)
+    return mapping.sorted_payload, mapping.chunk_src, mapping.chunk_cnt
   n = mapping.num_points
   rows = jnp.concatenate([gaussians2d, features.astype(gaussians2d.dtype)],
                          -1)
   rows_ext = jnp.concatenate(
       [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], 0)
   pid = mapping.point_id_chunked
-  return rows_ext[jnp.minimum(pid, n)] * (pid < n)[:, None].astype(rows.dtype)
+  chunked = rows_ext[pid]
+  # identity windows: chunk k reads rows [k*g, (k+1)*g); one block of slack
+  chunked = jnp.concatenate(
+      [chunked, jnp.zeros((g, rows.shape[1]), rows.dtype)], 0)
+  k = mapping.num_chunks
+  src = jnp.arange(k, dtype=jnp.int32) * g
+  return chunked, src, mapping.chunk_cnt
 
 
 def _pid_chunked(mapping: TileMapping):
@@ -127,24 +134,24 @@ def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
 
   @jax.custom_vjp
   def raster(gaussians2d, features, probe, mapping):
-    rows = _rows_chunked(mapping, gaussians2d, features)
-    return kernels.forward(rows, mapping.chunk_to_tile, config, num_tiles,
-                           tiles_wide)
+    rows, src, cnt = _kernel_inputs(mapping, gaussians2d, features)
+    return kernels.forward(rows, src, cnt, mapping.chunk_to_tile, config,
+                           num_tiles, tiles_wide)
 
   def fwd(gaussians2d, features, probe, mapping):
-    rows = _rows_chunked(mapping, gaussians2d, features)
+    rows, src, cnt = _kernel_inputs(mapping, gaussians2d, features)
     image_tiled, vis_chunked = kernels.forward(
-        rows, mapping.chunk_to_tile, config, num_tiles, tiles_wide)
-    residuals = (rows, image_tiled, mapping)
+        rows, src, cnt, mapping.chunk_to_tile, config, num_tiles, tiles_wide)
+    residuals = (rows, src, cnt, image_tiled, mapping)
     return (image_tiled, vis_chunked), residuals
 
   def bwd(residuals, cotangents):
-    rows, image_tiled, mapping = residuals
+    rows, src, cnt, image_tiled, mapping = residuals
     g_image_tiled, _g_vis = cotangents   # visibility is non-differentiable
 
     gout = kernels.backward(
-        rows, image_tiled, g_image_tiled, mapping.chunk_to_tile, config,
-        num_tiles, tiles_wide)
+        rows, image_tiled, g_image_tiled, src, cnt, mapping.chunk_to_tile,
+        config, num_tiles, tiles_wide)
 
     # reduce per-overlap gradients to points in ONE combined pass
     # (replaces the reference's warp-reduced atomics, backward.py:199-224)

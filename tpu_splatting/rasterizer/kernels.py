@@ -172,9 +172,21 @@ def _lin_uv(mlx, mly, ax, ay, sx, sy, scale: bool):
   return lu, lv
 
 
-def _clamp_threshold(a_raw, config):
-  return jnp.where(a_raw > config.alpha_threshold,
+def _clamp_threshold(a_raw, config, valid_row):
+  """Clamp + threshold; rows beyond the chunk's valid count get alpha 0,
+  which zeroes their compositing weight, visibility, AND every gradient
+  (the backward's mask multiplies everything through alpha_grad)."""
+  return jnp.where((a_raw > config.alpha_threshold) & valid_row,
                    jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
+
+
+def _window_rows(a_ref, b_ref, scratch, d, g: int):
+  """Select the g-row window starting at offset d from two consecutive
+  g-aligned blocks (Mosaic: no dynamic_slice on values; go through a
+  scratch ref, whose indexing supports dynamic starts)."""
+  scratch[0:g] = a_ref[...]
+  scratch[g:2 * g] = b_ref[...]
+  return scratch[pl.ds(d, g), :]
 
 
 def _s_sig(x, s):
@@ -194,7 +206,8 @@ def _antialias_pdf(tu, tv, sx, sy):
 # ---------------------------------------------------------------------------
 
 
-def _forward_kernel(ct_ref, rows_ref, img_ref, vis_ref, t_run_ref,
+def _forward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
+                    img_ref, vis_ref, t_run_ref, win_ref,
                     *, config: RasterConfig, num_tiles: int, tiles_wide: int,
                     f: int):
   g = config.chunk_size
@@ -219,10 +232,13 @@ def _forward_kernel(ct_ref, rows_ref, img_ref, vis_ref, t_run_ref,
 
   @pl.when(active)
   def _():
+    rows = _window_rows(a_blk_ref, b_blk_ref, win_ref, src_ref[k] % g, g)
+    valid_row = jax.lax.broadcasted_iota(
+        jnp.int32, (g, 1), 0) < cnt_ref[k]
+
     _, _, basis4, _, basis6 = _pixel_basis(pix, config.tile_size, dtype)
     (mlx, mly, ax, ay, sx, sy, point_alpha,
-     feats) = _unpack_rows(rows_ref[...], t, config.tile_size, tiles_wide,
-                           dtype)
+     feats) = _unpack_rows(rows, t, config.tile_size, tiles_wide, dtype)
 
     if config.antialias:
       # antialias uses unscaled frame coords + the S_sig integral
@@ -233,7 +249,7 @@ def _forward_kernel(ct_ref, rows_ref, img_ref, vis_ref, t_run_ref,
     else:
       a_raw = _qf_alpha_raw(mlx, mly, ax, ay, sx, sy, point_alpha, basis6)
 
-    a = _clamp_threshold(a_raw, config)
+    a = _clamp_threshold(a_raw, config, valid_row)
 
     t_in = jnp.where(is_first, jnp.ones((1, pix), dtype), t_run_ref[...])
     one_minus = 1.0 - a
@@ -283,37 +299,49 @@ def _forward_kernel(ct_ref, rows_ref, img_ref, vis_ref, t_run_ref,
     vis_ref[...] = jnp.zeros(vis_ref.shape, vis_ref.dtype)
 
 
-def forward(rows_chunked: jnp.ndarray,     # (A, 7+F)
+def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
+            chunk_src: jnp.ndarray,        # (K,) window start rows
+            chunk_cnt: jnp.ndarray,        # (K,) valid rows per window
             chunk_to_tile: jnp.ndarray,    # (K,)
             config: RasterConfig, num_tiles: int, tiles_wide: int,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """Rasterize chunk-aligned overlap rows.
+  """Rasterize the sorted overlap rows, windowed per chunk in-kernel.
+
+  Each chunk's rows are a contiguous window [chunk_src[k], +chunk_cnt[k])
+  of the sorted domain, fetched as the two covering g-aligned blocks (the
+  reference stages points into shared memory the same way,
+  forward.py:60-79).  Over-fetched rows are masked via alpha.
 
   Returns:
     image_tiled: (num_tiles + 1, F+1, tile_area); channel F is alpha, the
       last tile row is the dummy slot.
-    vis_chunked: (A, 1) per-overlap blend weight sums.
+    vis_chunked: (K*g, 1) per-overlap blend weight sums (chunk layout).
   """
-  a_cap, width = rows_chunked.shape
+  width = sorted_rows.shape[1]
   f = width - 7
   g = config.chunk_size
   pix = config.tile_area
   k_chunks = chunk_to_tile.shape[0]
-  dtype = rows_chunked.dtype
+  dtype = sorted_rows.dtype
 
   kernel = functools.partial(
       _forward_kernel, config=config, num_tiles=num_tiles,
       tiles_wide=tiles_wide, f=f)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=1,
+      num_scalar_prefetch=3,
       grid=(k_chunks,),
-      in_specs=[pl.BlockSpec((g, width), lambda k, ct: (k, 0))],
-      out_specs=[
-          pl.BlockSpec((1, f + 1, pix), lambda k, ct: (ct[k], 0, 0)),
-          pl.BlockSpec((g, 1), lambda k, ct: (k, 0)),
+      in_specs=[
+          pl.BlockSpec((g, width), lambda k, src, cnt, ct: (src[k] // g, 0)),
+          pl.BlockSpec((g, width),
+                       lambda k, src, cnt, ct: (src[k] // g + 1, 0)),
       ],
-      scratch_shapes=[pltpu.VMEM((1, pix), dtype)],
+      out_specs=[
+          pl.BlockSpec((1, f + 1, pix), lambda k, src, cnt, ct: (ct[k], 0, 0)),
+          pl.BlockSpec((g, 1), lambda k, src, cnt, ct: (k, 0)),
+      ],
+      scratch_shapes=[pltpu.VMEM((1, pix), dtype),
+                      pltpu.VMEM((2 * g, width), dtype)],
   )
 
   image_tiled, vis_chunked = pl.pallas_call(
@@ -321,10 +349,10 @@ def forward(rows_chunked: jnp.ndarray,     # (A, 7+F)
       grid_spec=grid_spec,
       out_shape=[
           jax.ShapeDtypeStruct((num_tiles + 1, f + 1, pix), dtype),
-          jax.ShapeDtypeStruct((a_cap, 1), dtype),
+          jax.ShapeDtypeStruct((k_chunks * g, 1), dtype),
       ],
       interpret=use_interpret(),
-  )(chunk_to_tile, rows_chunked)
+  )(chunk_src, chunk_cnt, chunk_to_tile, sorted_rows, sorted_rows)
 
   return image_tiled, vis_chunked
 
@@ -334,9 +362,10 @@ def forward(rows_chunked: jnp.ndarray,     # (A, 7+F)
 # ---------------------------------------------------------------------------
 
 
-def _backward_kernel(ct_ref, rows_ref, img_ref, gimg_ref,
+def _backward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
+                     img_ref, gimg_ref,
                      gout_ref,
-                     t_run_ref, s_run_ref,
+                     t_run_ref, s_run_ref, win_ref,
                      *, config: RasterConfig, num_tiles: int, tiles_wide: int,
                      f: int):
   g = config.chunk_size
@@ -360,11 +389,14 @@ def _backward_kernel(ct_ref, rows_ref, img_ref, gimg_ref,
 
   @pl.when(active)
   def _():
+    rows = _window_rows(a_blk_ref, b_blk_ref, win_ref, src_ref[k] % g, g)
+    valid_row = jax.lax.broadcasted_iota(
+        jnp.int32, (g, 1), 0) < cnt_ref[k]
+
     pxl, pyl, basis4, basis3, basis6 = _pixel_basis(
         pix, config.tile_size, dtype)
     (mlx, mly, ax, ay, sx, sy, point_alpha,
-     feats) = _unpack_rows(rows_ref[...], t, config.tile_size, tiles_wide,
-                           dtype)
+     feats) = _unpack_rows(rows, t, config.tile_size, tiles_wide, dtype)
 
     antialias = config.antialias
     if antialias:
@@ -380,7 +412,7 @@ def _backward_kernel(ct_ref, rows_ref, img_ref, gimg_ref,
       v = _mm(lv, basis4)
       a_raw = _qf_alpha_raw(mlx, mly, ax, ay, sx, sy, point_alpha, basis6)
 
-    a = _clamp_threshold(a_raw, config)
+    a = _clamp_threshold(a_raw, config, valid_row)
     clamp_live = (a_raw < config.clamp_max_alpha).astype(dtype)
 
     gimg = gimg_ref[0]                                    # (F+1, PIX)
@@ -513,21 +545,23 @@ def _antialias_grads(tu, tv, sx, sy, dx, dy, ax, ay):
   return dmx, dmy, dax, day, dsx_, dsy_
 
 
-def backward(rows_chunked: jnp.ndarray, image_tiled: jnp.ndarray,
-             g_image_tiled: jnp.ndarray, chunk_to_tile: jnp.ndarray,
+def backward(sorted_rows: jnp.ndarray, image_tiled: jnp.ndarray,
+             g_image_tiled: jnp.ndarray, chunk_src: jnp.ndarray,
+             chunk_cnt: jnp.ndarray, chunk_to_tile: jnp.ndarray,
              config: RasterConfig, num_tiles: int, tiles_wide: int):
-  """Backward pass: per-overlap gradients, to be reduced to points by the
-  caller (sorted-segment-sum, layout.py).
+  """Backward pass: per-overlap gradients in chunk layout, to be reduced to
+  points by the caller (sorted-segment-sum, layout.py).  Rows beyond each
+  chunk's valid count yield exactly-zero gradient rows (alpha masking).
 
-  Returns (A, 7 + F [+ 2]) gradient rows: [mean, axis, sigma, alpha,
+  Returns (K*g, 7 + F [+ 2]) gradient rows: [mean, axis, sigma, alpha,
   features(, prune_cost, split_score)].
   """
-  a_cap, width = rows_chunked.shape
+  width = sorted_rows.shape[1]
   f = width - 7
   g = config.chunk_size
   pix = config.tile_area
   k_chunks = chunk_to_tile.shape[0]
-  dtype = rows_chunked.dtype
+  dtype = sorted_rows.dtype
   out_width = width + (2 if config.compute_point_heuristic else 0)
 
   kernel = functools.partial(
@@ -535,25 +569,31 @@ def backward(rows_chunked: jnp.ndarray, image_tiled: jnp.ndarray,
       tiles_wide=tiles_wide, f=f)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=1,
+      num_scalar_prefetch=3,
       grid=(k_chunks,),
       in_specs=[
-          pl.BlockSpec((g, width), lambda k, ct: (k, 0)),
-          pl.BlockSpec((1, f + 1, pix), lambda k, ct: (ct[k], 0, 0)),
-          pl.BlockSpec((1, f + 1, pix), lambda k, ct: (ct[k], 0, 0)),
+          pl.BlockSpec((g, width), lambda k, src, cnt, ct: (src[k] // g, 0)),
+          pl.BlockSpec((g, width),
+                       lambda k, src, cnt, ct: (src[k] // g + 1, 0)),
+          pl.BlockSpec((1, f + 1, pix),
+                       lambda k, src, cnt, ct: (ct[k], 0, 0)),
+          pl.BlockSpec((1, f + 1, pix),
+                       lambda k, src, cnt, ct: (ct[k], 0, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((g, out_width), lambda k, ct: (k, 0)),
+          pl.BlockSpec((g, out_width), lambda k, src, cnt, ct: (k, 0)),
       ],
       scratch_shapes=[pltpu.VMEM((1, pix), dtype),
-                      pltpu.VMEM((1, pix), dtype)],
+                      pltpu.VMEM((1, pix), dtype),
+                      pltpu.VMEM((2 * g, width), dtype)],
   )
 
   (gout,) = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=[jax.ShapeDtypeStruct((a_cap, out_width), dtype)],
+      out_shape=[jax.ShapeDtypeStruct((k_chunks * g, out_width), dtype)],
       interpret=use_interpret(),
-  )(chunk_to_tile, rows_chunked, image_tiled, g_image_tiled)
+  )(chunk_src, chunk_cnt, chunk_to_tile, sorted_rows, sorted_rows,
+    image_tiled, g_image_tiled)
 
   return gout
