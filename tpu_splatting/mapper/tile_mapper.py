@@ -48,6 +48,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data_types import RasterConfig
 from ..lib import gaussian2d as g2d
@@ -211,6 +212,78 @@ def _marker_fill(values: jnp.ndarray, positions: jnp.ndarray,
   buf = jnp.zeros((size,), values.dtype).at[positions].max(values,
                                                            mode="drop")
   return jax.lax.cummax(buf)
+
+
+def calibrate_mapper(gaussians: jnp.ndarray, depth: jnp.ndarray,
+                     image_size: Tuple[int, int],
+                     config: RasterConfig) -> dict:
+  """One cheap N-sized dry pass over a representative scene, returning
+  measured statistics and suggested static capacities.
+
+  The TPU mapper replaces the reference's host-synchronised dynamic
+  allocation (tile_mapper.py:148-168) with static capacities; this helper
+  is the sizing rule: run it once on a typical frame, then construct
+  ``RasterConfig(tile_window=..., big_capacity=...)`` and pass
+  ``max_overlaps`` to ``map_to_tiles``/``rasterize``.  ``num_overflow``
+  still guards every real run.
+
+  Returns a dict with:
+    tile_window: smallest window covering >= 99.9% of valid points.
+    big_capacity: 1.5x the count of points wider than that window.
+    max_overlaps: 1.15x the exact OBB hit count at that window (chunk
+      aligned), including an upper bound for big-path candidates.
+  """
+  ts = config.tile_size
+  tw, _ = tile_shape(image_size, ts)
+  padded_size = pad_to_tile(image_size, ts)
+
+  # span histogram, then exact hits at the chosen window
+  @jax.jit
+  def span_hist(g, d):
+    mean, axis, sigma, alpha = g2d.unpack_g2d(g)
+    gscale = g2d.gaussian_scale(alpha, config.alpha_threshold)
+    valid = (alpha > config.alpha_threshold) & (d.reshape(-1) > 0) & (
+        gscale > 0)
+    min_tile, max_tile = _tile_bounds(mean, axis, sigma, gscale,
+                                      padded_size, ts)
+    span = jnp.where(valid[:, None], (max_tile - min_tile).max(-1), 0)
+    return valid.sum(dtype=jnp.int32), span
+
+  n_valid, span = jax.device_get(span_hist(gaussians, depth))
+  span = np.asarray(span)
+  n_valid = max(int(n_valid), 1)
+  window = int(np.quantile(span[span > 0], 0.999)) if (span > 0).any() else 1
+  window = max(min(window, 8), 1)
+  n_wide = int((span > window).sum())
+
+  @partial(jax.jit, static_argnames=("window",))
+  def hits_at(g, d, window: int):
+    mean, axis, sigma, alpha = g2d.unpack_g2d(g)
+    gscale = g2d.gaussian_scale(alpha, config.alpha_threshold)
+    valid = (alpha > config.alpha_threshold) & (d.reshape(-1) > 0) & (
+        gscale > 0)
+    u1, u2, e1, e2 = _obb_axes(axis, sigma, gscale, ts)
+    min_tile, max_tile = _tile_bounds(mean, axis, sigma, gscale,
+                                      padded_size, ts)
+    span_xy = max_tile - min_tile
+    wide = valid & jnp.any(span_xy > window, -1)
+    hit, _ = _candidate_hits(mean, u1, u2, e1, e2, min_tile, span_xy,
+                             valid & ~wide, window, ts, tw)
+    big_ub = jnp.where(
+        wide, jnp.prod(jnp.minimum(span_xy, config.big_tile_window), -1), 0)
+    return hit.sum(dtype=jnp.int32) + big_ub.sum(dtype=jnp.int32)
+
+  total = int(hits_at(gaussians, depth, window))
+  g = config.chunk_size
+  cap = int(total * 1.15) + 4 * g
+  return {
+      "tile_window": window,
+      "big_capacity": max(1024, int(n_wide * 1.5 + 0.5)),
+      "max_overlaps": ((cap + g - 1) // g) * g,
+      "measured_hits_upper_bound": total,
+      "num_wide": n_wide,
+      "num_valid": n_valid,
+  }
 
 
 @partial(jax.jit,

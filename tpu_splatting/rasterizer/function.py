@@ -126,7 +126,7 @@ def reduce_chunked_to_points(x_chunked: jnp.ndarray, pid: jnp.ndarray,
 
 @lru_cache(maxsize=None)
 def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
-                     num_points: int, feature_size: int):
+                     num_points: int, feature_size: int, with_vis: bool):
   """Cached custom_vjp rasterizer specialised on static shape/config
   (the jit analogue of the reference's @cache kernel factories,
   function.py:28-40)."""
@@ -136,12 +136,13 @@ def _raster_function(config: RasterConfig, num_tiles: int, tiles_wide: int,
   def raster(gaussians2d, features, probe, mapping):
     rows, src, cnt = _kernel_inputs(mapping, gaussians2d, features)
     return kernels.forward(rows, src, cnt, mapping.chunk_to_tile, config,
-                           num_tiles, tiles_wide)
+                           num_tiles, tiles_wide, with_vis=with_vis)
 
   def fwd(gaussians2d, features, probe, mapping):
     rows, src, cnt = _kernel_inputs(mapping, gaussians2d, features)
     image_tiled, vis_chunked = kernels.forward(
-        rows, src, cnt, mapping.chunk_to_tile, config, num_tiles, tiles_wide)
+        rows, src, cnt, mapping.chunk_to_tile, config, num_tiles, tiles_wide,
+        with_vis=with_vis)
     residuals = (rows, src, cnt, image_tiled, mapping)
     return (image_tiled, vis_chunked), residuals
 
@@ -200,7 +201,8 @@ def rasterize_with_tiles(
   if heuristic_probe is None:
     heuristic_probe = jnp.zeros((n, 2), dtype)
 
-  raster = _raster_function(config, num_tiles, tw, n, f)
+  with_vis = config.compute_visibility or config.compute_point_heuristic
+  raster = _raster_function(config, num_tiles, tw, n, f, with_vis)
   image_tiled, vis_chunked = raster(
       gaussians2d, features, heuristic_probe, mapping)
 
@@ -218,7 +220,7 @@ def rasterize_with_tiles(
   image_alpha = full[..., f]
 
   visibility = None
-  if config.compute_visibility or config.compute_point_heuristic:
+  if with_vis:
     pid = _pid_chunked(mapping)
     # stop the gradient BEFORE the reduction: the scalar-prefetch Pallas
     # kernels have no JVP rule, and visibility is non-differentiable anyway

@@ -9,34 +9,42 @@ re-architected as a **pipelined scan over fixed-size overlap chunks**
 (flash-attention style):
 
 * The tile mapper sorts overlaps tile-major/depth-ordered with the point
-  and feature rows riding the sort; the window-copy kernel (layout.py) lays
-  them out chunk-aligned: every chunk of ``G = chunk_size`` overlap slots
-  belongs to exactly one tile, chunks of a tile are consecutive, and null
-  slots are all-zero rows (alpha 0 => compositing no-ops).
+  and feature rows riding the sort; the kernels window the sorted rows per
+  chunk in-kernel (two g-aligned BlockSpec fetches + dynamic scratch
+  select).  Null slots are masked through the alpha threshold, which
+  provably zeroes their weights, visibility, and every gradient.
 
 * The Pallas grid iterates chunks.  Inputs stream linearly from HBM (auto
   double-buffered); each output image block stays resident in VMEM while
   its tile's chunks are processed (revisiting semantics).  Per-tile
   transmittance state lives in VMEM scratch, re-seeded at tile boundaries.
 
-* **The MXU does the heavy lifting** (a v5e has ~20x more MXU than VPU
+* **The MXU does the heavy lifting** (a v5e has ~50x more MXU than VPU
   throughput): the log-pdf of all G points at all tile pixels is a single
   quadratic form ``(G,6) @ (6,PIX)`` over the monomial basis
   [px^2, px*py, py^2, px, py, 1] in tile-local coordinates — point alpha is
   folded into the constant term so ONE matmul + ONE exp yields the
-  compositing alpha; feature compositing is a ``(G,F) x (G,PIX)``
-  contraction; and every per-point gradient reduction in the backward is
-  factored through pixel moments ``(G,PIX) @ (PIX,3)`` instead of
-  elementwise (G,PIX) chains.
+  compositing alpha.  The sequential alpha compositing is vectorised in
+  closed form **in log-transmittance space**: the exclusive cumulative sum
+  of log(1-a) is a strict-lower-triangular matmul on the MXU (replacing a
+  7-pass Hillis-Steele VPU scan), and the per-tile carry is stored as
+  log T.  Feature + alpha-channel compositing is one ``(F+1,G) x (G,PIX)``
+  contraction (an all-ones row folds the alpha channel into the feature
+  matmul); every per-point gradient reduction in the backward is factored
+  through pixel moments ``(G,PIX) @ (PIX,3)``.
 
-* Sequential alpha compositing over a chunk is vectorised in closed form:
-  the exclusive transmittance product is a log-depth Hillis-Steele scan,
-  seeded directly with the carried transmittance.  Saturation is a
-  transmittance **freeze** (``T <= 1 - saturate_threshold`` masks all later
-  contributions), giving a closed-form forward that is exactly consistent
-  with the backward — the reference's backward applies this stop
-  (backward.py:154-160) while its forward does not.  Fully saturated tiles
-  skip the remaining chunks' compute entirely.
+* f32 matmuls use exact (HIGHEST) precision where accuracy feeds the
+  compositing exponent or gradients, and 1-pass bf16 (DEFAULT) for feature
+  contractions (Mosaic lowers only those two).  CPU interpret mode (tests,
+  f64 gradcheck) is unaffected — precision hints only change TPU MXU pass
+  counts.
+
+* Saturation is a transmittance **freeze** (``log T <= log(1 -
+  saturate_threshold)`` masks all later contributions), giving a closed-
+  form forward that is exactly consistent with the backward — the
+  reference's backward applies this stop (backward.py:154-160) while its
+  forward does not.  Fully saturated tiles skip the remaining chunks'
+  compute entirely.
 
 * The backward re-derives per-point gradients with the reference's
   "remaining feature" trick (backward.py:166-196) in scan form: a running
@@ -49,7 +57,8 @@ re-architected as a **pipelined scan over fixed-size overlap chunks**
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,47 +67,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..data_types import RasterConfig
 
+_NEG_BIG = -3.0e38   # "log 0" fill that stays finite in f32 arithmetic
+
 
 def use_interpret() -> bool:
   """Pallas interpret mode on CPU (tests / f64 gradcheck)."""
   return jax.default_backend() == "cpu"
 
 
-def _shift_down(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
-  """Shift rows down by ``s`` along the sublane axis, filling with ``fill``
-  (a scalar or a broadcastable (1, PIX) row)."""
-  pad = jnp.broadcast_to(fill, (s, x.shape[1])).astype(x.dtype)
-  return jnp.concatenate([pad, x[:-s]], 0)
-
-
-def _cumprod_excl(x: jnp.ndarray, seed) -> jnp.ndarray:
-  """Seeded exclusive cumulative product along axis 0 (depth):
-  out_i = seed * prod_{j<i} x_j.  Log-depth Hillis-Steele scan."""
-  g = x.shape[0]
-  y = _shift_down(x, 1, seed)
-  s = 1
-  while s < g:
-    y = y * _shift_down(y, s, 1.0)
-    s *= 2
-  return y
-
-
-def _cumsum_incl(x: jnp.ndarray) -> jnp.ndarray:
-  """Inclusive cumulative sum along axis 0 (Hillis-Steele)."""
-  g = x.shape[0]
-  y = x
-  s = 1
-  while s < g:
-    y = y + _shift_down(y, s, 0.0)
-    s *= 2
-  return y
-
-
-def _mm(a, b, contract=((1,), (0,))):
+def _mm(a, b, contract=((1,), (0,)), precision=jax.lax.Precision.HIGHEST):
+  # NB: Mosaic only lowers DEFAULT (1-pass bf16) and HIGHEST (6-pass exact
+  # f32) dot precisions; HIGH is rejected in-kernel.
   return jax.lax.dot_general(
       a, b, dimension_numbers=(contract, ((), ())),
       preferred_element_type=a.dtype,
-      precision=jax.lax.Precision.HIGHEST)
+      precision=precision)
+
+
+def _cumsum_excl_mm(x: jnp.ndarray) -> jnp.ndarray:
+  """Exclusive cumulative sum along axis 0 as ONE strict-lower-triangular
+  matmul on the MXU (out_i = sum_{j<i} x_j)."""
+  g = x.shape[0]
+  r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+  c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+  tri = (c < r).astype(x.dtype)
+  return _mm(tri, x)
+
+
+def _cumsum_incl_mm(x: jnp.ndarray) -> jnp.ndarray:
+  """Inclusive cumulative sum along axis 0 (lower-triangular MXU matmul)."""
+  g = x.shape[0]
+  r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+  c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+  tri = (c <= r).astype(x.dtype)
+  return _mm(tri, x)
+
+
+def _log_cut(config: RasterConfig) -> float:
+  """log(1 - saturate_threshold): the transmittance freeze cut in log space.
+  A non-positive cut (saturate_threshold >= 1) disables freezing."""
+  cut = 1.0 - config.saturate_threshold
+  return math.log(cut) if cut > 0.0 else _NEG_BIG
 
 
 def _pixel_basis(pix: int, tile_size: int, dtype):
@@ -207,9 +216,14 @@ def _antialias_pdf(tu, tv, sx, sy):
 
 
 def _forward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
-                    img_ref, vis_ref, t_run_ref, win_ref,
-                    *, config: RasterConfig, num_tiles: int, tiles_wide: int,
-                    f: int):
+                    img_ref, *out_and_scratch,
+                    config: RasterConfig, num_tiles: int, tiles_wide: int,
+                    f: int, with_vis: bool):
+  if with_vis:
+    vis_ref, lt_run_ref, win_ref = out_and_scratch
+  else:
+    lt_run_ref, win_ref = out_and_scratch
+    vis_ref = None
   g = config.chunk_size
   pix = config.tile_area
   dtype = img_ref.dtype
@@ -221,12 +235,14 @@ def _forward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
   is_dummy = t >= num_tiles
 
   # exact chunk skip: once a tile's transmittance is everywhere below the
-  # freeze cut, later chunks contribute exactly zero (blending mode)
+  # freeze cut, later chunks contribute exactly zero (blending mode; the
+  # quantile mode's unfrozen weights still feed visibility, so no skip)
   if config.use_alpha_blending:
-    cut = 1.0 - config.saturate_threshold
+    lcut = _log_cut(config)
     saturated = jnp.logical_and(jnp.logical_not(is_first),
-                                jnp.max(t_run_ref[...]) <= cut)
+                                jnp.max(lt_run_ref[...]) <= lcut)
   else:
+    lcut = _NEG_BIG
     saturated = False
   active = jnp.logical_not(jnp.logical_or(is_dummy, saturated))
 
@@ -251,52 +267,60 @@ def _forward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
 
     a = _clamp_threshold(a_raw, config, valid_row)
 
-    t_in = jnp.where(is_first, jnp.ones((1, pix), dtype), t_run_ref[...])
-    one_minus = 1.0 - a
-    t_i = _cumprod_excl(one_minus, t_in)        # seed folds t_in in
-    t_end = t_i[g - 1:g, :] * one_minus[g - 1:g, :]
+    lt_in = jnp.where(is_first, jnp.zeros((1, pix), dtype), lt_run_ref[...])
+    l = jnp.log1p(-a)
+    lt_i = _cumsum_excl_mm(l) + lt_in          # log exclusive transmittance
+    t_i = jnp.exp(lt_i)
+    lt_end = lt_i[g - 1:g, :] + l[g - 1:g, :]
 
     if config.use_alpha_blending:
-      cut_b = 1.0 - config.saturate_threshold
-      w = jnp.where(t_i > cut_b, a * t_i, 0.0)  # freeze-masked weight
-      contrib = _mm(feats, w, contract=((0,), (0,)))        # (F, PIX)
-      alpha_row = jnp.sum(w, 0, keepdims=True)              # (1, PIX)
-      # frozen transmittance carry (first crossing, closed form)
-      t_new = jnp.maximum(
-          t_end, jnp.max(jnp.where(t_i <= cut_b, t_i, 0.0), 0, keepdims=True))
+      w = jnp.where(lt_i > lcut, a * t_i, 0.0)  # freeze-masked weight
+      # alpha channel rides the feature contraction as an all-ones row
+      frow = jnp.concatenate([feats, jnp.ones((g, 1), dtype)], -1)
+      contrib = _mm(frow, w, contract=((0,), (0,)),
+                    precision=jax.lax.Precision.DEFAULT)     # (F+1, PIX)
+      # frozen transmittance carry (first crossing, closed form, log space)
+      lt_new = jnp.maximum(
+          lt_end,
+          jnp.max(jnp.where(lt_i <= lcut, lt_i, _NEG_BIG), 0, keepdims=True))
     else:
       # quantile mode (forward.py:105-112): select the feature of the first
       # point where cumulative weight crosses 1 - saturate_threshold
+      one_minus = 1.0 - a
       t_incl = t_i * one_minus
-      sel = ((t_incl <= config.saturate_threshold)
-             & (t_i > config.saturate_threshold)).astype(dtype)
+      thr = config.saturate_threshold
+      sel = ((t_incl <= thr) & (t_i > thr)).astype(dtype)
       w = a * t_i                                           # unfrozen weights
-      contrib = _mm(feats, sel, contract=((0,), (0,)))
-      t_new = t_end
-      alpha_row = None
+      contrib = _mm(feats, sel, contract=((0,), (0,)),
+                    precision=jax.lax.Precision.DEFAULT)
+      lt_new = lt_end
 
     @pl.when(is_first)
     def _():
-      img_ref[0, :f, :] = contrib
       if config.use_alpha_blending:
-        img_ref[0, f:f + 1, :] = alpha_row
+        img_ref[0, :f + 1, :] = contrib
+      else:
+        img_ref[0, :f, :] = contrib
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-      img_ref[0, :f, :] += contrib
       if config.use_alpha_blending:
-        img_ref[0, f:f + 1, :] += alpha_row
+        img_ref[0, :f + 1, :] += contrib
+      else:
+        img_ref[0, :f, :] += contrib
 
     if not config.use_alpha_blending:
       # alpha channel in quantile mode: hit mask (forward.py:135)
-      img_ref[0, f:f + 1, :] = (t_new < 1.0).astype(dtype)
+      img_ref[0, f:f + 1, :] = (lt_new < 0.0).astype(dtype)
 
-    vis_ref[...] = jnp.sum(w, 1, keepdims=True)             # (G, 1)
-    t_run_ref[...] = t_new
+    if with_vis:
+      vis_ref[...] = jnp.sum(w, 1, keepdims=True)           # (G, 1)
+    lt_run_ref[...] = lt_new
 
-  @pl.when(jnp.logical_not(active))
-  def _():
-    vis_ref[...] = jnp.zeros(vis_ref.shape, vis_ref.dtype)
+  if with_vis:
+    @pl.when(jnp.logical_not(active))
+    def _():
+      vis_ref[...] = jnp.zeros(vis_ref.shape, vis_ref.dtype)
 
 
 def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
@@ -304,7 +328,8 @@ def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
             chunk_cnt: jnp.ndarray,        # (K,) valid rows per window
             chunk_to_tile: jnp.ndarray,    # (K,)
             config: RasterConfig, num_tiles: int, tiles_wide: int,
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            with_vis: bool = True,
+            ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
   """Rasterize the sorted overlap rows, windowed per chunk in-kernel.
 
   Each chunk's rows are a contiguous window [chunk_src[k], +chunk_cnt[k])
@@ -315,7 +340,8 @@ def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
   Returns:
     image_tiled: (num_tiles + 1, F+1, tile_area); channel F is alpha, the
       last tile row is the dummy slot.
-    vis_chunked: (K*g, 1) per-overlap blend weight sums (chunk layout).
+    vis_chunked: (K*g, 1) per-overlap blend weight sums (chunk layout), or
+      None when ``with_vis`` is False (saves the writes + reduction).
   """
   width = sorted_rows.shape[1]
   f = width - 7
@@ -326,7 +352,15 @@ def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
 
   kernel = functools.partial(
       _forward_kernel, config=config, num_tiles=num_tiles,
-      tiles_wide=tiles_wide, f=f)
+      tiles_wide=tiles_wide, f=f, with_vis=with_vis)
+
+  out_specs = [
+      pl.BlockSpec((1, f + 1, pix), lambda k, src, cnt, ct: (ct[k], 0, 0)),
+  ]
+  out_shape = [jax.ShapeDtypeStruct((num_tiles + 1, f + 1, pix), dtype)]
+  if with_vis:
+    out_specs.append(pl.BlockSpec((g, 1), lambda k, src, cnt, ct: (k, 0)))
+    out_shape.append(jax.ShapeDtypeStruct((k_chunks * g, 1), dtype))
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=3,
@@ -336,25 +370,21 @@ def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
           pl.BlockSpec((g, width),
                        lambda k, src, cnt, ct: (src[k] // g + 1, 0)),
       ],
-      out_specs=[
-          pl.BlockSpec((1, f + 1, pix), lambda k, src, cnt, ct: (ct[k], 0, 0)),
-          pl.BlockSpec((g, 1), lambda k, src, cnt, ct: (k, 0)),
-      ],
+      out_specs=out_specs,
       scratch_shapes=[pltpu.VMEM((1, pix), dtype),
                       pltpu.VMEM((2 * g, width), dtype)],
   )
 
-  image_tiled, vis_chunked = pl.pallas_call(
+  out = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=[
-          jax.ShapeDtypeStruct((num_tiles + 1, f + 1, pix), dtype),
-          jax.ShapeDtypeStruct((k_chunks * g, 1), dtype),
-      ],
+      out_shape=out_shape,
       interpret=use_interpret(),
   )(chunk_src, chunk_cnt, chunk_to_tile, sorted_rows, sorted_rows)
 
-  return image_tiled, vis_chunked
+  if with_vis:
+    return out[0], out[1]
+  return out[0], None
 
 
 # ---------------------------------------------------------------------------
@@ -365,13 +395,13 @@ def forward(sorted_rows: jnp.ndarray,      # (P + 2g, 7+F) tile-depth sorted
 def _backward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
                      img_ref, gimg_ref,
                      gout_ref,
-                     t_run_ref, s_run_ref, win_ref,
+                     lt_run_ref, s_run_ref, win_ref,
                      *, config: RasterConfig, num_tiles: int, tiles_wide: int,
                      f: int):
   g = config.chunk_size
   pix = config.tile_area
   dtype = gout_ref.dtype
-  cut = 1.0 - config.saturate_threshold
+  lcut = _log_cut(config)
   heur = config.compute_point_heuristic
 
   k = pl.program_id(0)
@@ -380,7 +410,7 @@ def _backward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
   is_first = jnp.logical_or(k == 0, t != prev_t)
   is_dummy = t >= num_tiles
   saturated = jnp.logical_and(jnp.logical_not(is_first),
-                              jnp.max(t_run_ref[...]) <= cut)
+                              jnp.max(lt_run_ref[...]) <= lcut)
   active = jnp.logical_not(jnp.logical_or(is_dummy, saturated))
 
   @pl.when(jnp.logical_not(active))
@@ -418,24 +448,28 @@ def _backward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
     gimg = gimg_ref[0]                                    # (F+1, PIX)
     img = img_ref[0]
 
-    t_in = jnp.where(is_first, jnp.ones((1, pix), dtype), t_run_ref[...])
+    lt_in = jnp.where(is_first, jnp.zeros((1, pix), dtype), lt_run_ref[...])
     s_in = jnp.where(is_first, jnp.sum(gimg * img, 0, keepdims=True),
                      s_run_ref[...])
 
-    # replay the forward compositing
+    # replay the forward compositing (log space, MXU scan)
     one_minus = 1.0 - a
-    t_i = _cumprod_excl(one_minus, t_in)
-    t_end = t_i[g - 1:g, :] * one_minus[g - 1:g, :]
+    l = jnp.log1p(-a)
+    lt_i = _cumsum_excl_mm(l) + lt_in
+    t_i = jnp.exp(lt_i)
+    lt_end = lt_i[g - 1:g, :] + l[g - 1:g, :]
 
-    mask = ((t_i > cut) & (a > 0.0)).astype(dtype)
+    mask = ((lt_i > lcut) & (a > 0.0)).astype(dtype)
     w = a * t_i * mask
 
-    # gf = d(pixel)/d(weight): feature channels + the alpha image channel
-    gf = _mm(feats, gimg[:f]) + gimg[f:f + 1]             # (G, PIX)
+    # gf = d(pixel)/d(weight): feature channels + the alpha image channel,
+    # as one (F+1)-row contraction (ones row = alpha channel)
+    frow = jnp.concatenate([feats, jnp.ones((g, 1), dtype)], -1)
+    gf = _mm(frow, gimg)                                  # (G, PIX)
 
     wgf = w * gf
     # s_i = sum_c g * remaining  (inclusive: current point subtracted)
-    s_i = s_in - _cumsum_incl(wgf)
+    s_i = s_in - _cumsum_incl_mm(wgf)
 
     alpha_grad = (t_i * gf - s_i / one_minus) * mask      # (G, PIX)
 
@@ -504,9 +538,10 @@ def _backward_kernel(src_ref, cnt_ref, ct_ref, a_blk_ref, b_blk_ref,
       cols += [prune, split]
     gout_ref[...] = jnp.concatenate(cols, -1)
 
-    t_new = jnp.maximum(
-        t_end, jnp.max(jnp.where(t_i <= cut, t_i, 0.0), 0, keepdims=True))
-    t_run_ref[...] = t_new
+    lt_new = jnp.maximum(
+        lt_end,
+        jnp.max(jnp.where(lt_i <= lcut, lt_i, _NEG_BIG), 0, keepdims=True))
+    lt_run_ref[...] = lt_new
     s_run_ref[...] = s_i[g - 1:g, :]
 
 
