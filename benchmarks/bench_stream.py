@@ -1,0 +1,92 @@
+"""Benchmark the tile-stream pipeline on the real chip vs the sorted one."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_splatting import RasterConfig
+from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
+from tpu_splatting.rasterizer.stream_function import (
+    stream_rasterize_with_mapping)
+from tpu_splatting.utils.benchmarked import benchmarked
+from benchmarks.bench_components import synthetic_2d
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--n", type=int, default=1_000_000)
+  p.add_argument("--width", type=int, default=1024)
+  p.add_argument("--height", type=int, default=768)
+  p.add_argument("--scale", type=float, default=4.0)
+  p.add_argument("--iters", type=int, default=5)
+  p.add_argument("--group-width", type=int, default=2)
+  p.add_argument("--slab-cap", type=int, default=512)
+  args = p.parse_args()
+
+  image_size = (args.width, args.height)
+  packed, depth, feats = synthetic_2d(args.n, image_size,
+                                      scale_factor=args.scale)
+  config = RasterConfig()
+  gw = args.group_width
+
+  cal = calibrate_stream(packed, depth, feats, image_size, config,
+                         group_width=gw, slab_cap=args.slab_cap)
+  print("# calibration:", cal)
+  run_cap = cal["run_cap"]
+
+  map_f = lambda p_, d_, f_: stream_map(
+      p_, d_, f_, image_size, config, num_slabs=cal["num_slabs"],
+      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"], group_width=gw)
+  m = jax.jit(map_f)(packed, depth, feats)
+  print("# overflow:", int(m.num_overflow), "groups:", m.num_groups,
+        "slabs:", m.num_slabs, "table:", m.table.shape)
+  # a handful of reach>1 points (radius marginally over tile_size) may be
+  # dropped; tolerate a negligible fraction in this component bench
+  assert int(m.num_overflow) <= max(4, args.n // 100_000), int(m.num_overflow)
+
+  it = args.iters
+  benchmarked("stream_map", map_f, (packed, depth, feats), iters=it)
+
+  fwd = lambda p_, f_, mm: stream_rasterize_with_mapping(
+      p_, f_, mm, image_size, config, run_cap=run_cap)[0]
+  benchmarked("stream_forward", fwd, (packed, feats, m), iters=it)
+
+  def loss(p_, f_, mm):
+    img, w = stream_rasterize_with_mapping(
+        p_, f_, mm, image_size, config, run_cap=run_cap)
+    return jnp.sum(img ** 2) + jnp.sum(w)
+  benchmarked("stream_fwd_bwd", jax.grad(loss, argnums=(0, 1)),
+              (packed, feats, m), iters=it)
+
+  # isolate the backward kernel and the reduce
+  from tpu_splatting.rasterizer.stream_kernels import (stream_backward,
+                                                       stream_forward)
+  from tpu_splatting.rasterizer.stream_function import stream_reduce
+  img_tiled = jax.jit(lambda mm: stream_forward(mm, config))(m)
+  gimg = jnp.ones_like(img_tiled)
+  benchmarked("bwd_kernel_only", lambda mm, it_, gi: stream_backward(
+      mm, it_, gi, config, run_cap), (m, img_tiled, gimg), iters=it)
+  gout = jax.jit(lambda mm, it_, gi: stream_backward(
+      mm, it_, gi, config, run_cap))(m, img_tiled, gimg)
+  slabw = 7 + feats.shape[1]
+  benchmarked("reduce_only", lambda go, mm: stream_reduce(
+      go, mm, run_cap, slabw), (gout, m), iters=it)
+
+  def e2e(p_, d_, f_):
+    mm = map_f(jax.lax.stop_gradient(p_), d_, jax.lax.stop_gradient(f_))
+
+    def inner(p__, f__):
+      img, w = stream_rasterize_with_mapping(
+          p__, f__, mm, image_size, config, run_cap=run_cap)
+      return jnp.sum(img ** 2) + jnp.sum(w)
+    return jax.grad(inner, argnums=(0, 1))(p_, f_)
+  benchmarked("stream_e2e_map_fwd_bwd", e2e, (packed, depth, feats),
+              iters=it)
+
+
+if __name__ == "__main__":
+  main()

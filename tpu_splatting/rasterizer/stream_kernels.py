@@ -1,0 +1,599 @@
+"""Pallas TPU kernels for the tile-stream pipeline (see stream.py).
+
+One grid step processes a GROUP of GW adjacent tiles in a band.  The three
+band strips (homes x0-1..x0+GW for bands y-1..y+1) stream in as two
+S_CAP-row blocks each — 6 pipelined DMAs per GROUP instead of 2 per
+128-row chunk, which removes the measured ~0.7 us/chunk pipeline floor of
+the chunk-grid kernels (benchmarks/exp_kernel_floor.py).
+
+Per tile, per depth slab:
+
+* <= 24 window copies (8 class windows x 3 bands, tiered static sizes)
+  assemble the fetched rows in VMEM in FETCH order.  Rows are then kept
+  TRANSPOSED (W, C): per-row scalars live on the lane axis, where
+  elementwise coefficient math is ~16x denser than on (C, 1) columns.
+
+* Depth ordering is never a data movement: with the pairwise mask
+  ``M[i,j] = rank-key_i < rank-key_j`` (rank key = depth16<<14 | slot),
+  the exclusive log transmittance is ONE mask matmul
+  ``lt_j = sum_i M[i,j] * log(1-a_i)`` on the MXU — no scan, no permute,
+  exact freeze semantics.  The backward's remaining-feature state is the
+  matching inclusive prefix ``cum_j = wgf_j + sum_i M[i,j] wgf_i``.
+
+* The backward emits gradient rows in fetch order, copies them back into
+  per-band RUN_CAP-strided buffers (home-major), and writes one
+  STATIC-size DMA per (band, k-neighbour) slab: every (home, band, k)
+  cell is owned by exactly one group, so groups never clobber each other
+  (edge groups shrink their k=0/k=2 writes by one home).  Point gradients
+  = validity-masked sum of the 9 slabs + one row gather back to compact
+  home order.  No overlap-sized sort, no segment-sum.
+
+Reference semantics mirrored from
+/root/reference/taichi_splatting/rasterizer/forward.py:22-137 and
+backward.py:50-227 (remaining-feature trick :166-196, saturation stop
+:154-160, heuristics :190-194); see rasterizer/kernels.py for the
+chunk-grid equivalents.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data_types import RasterConfig
+from .stream import FETCH_WINDOWS, StreamMapping
+
+_NEG_BIG = -3.0e38
+_TIERS = (64, 512)        # window-copy sizes; last >= slab_cap
+
+
+def use_interpret() -> bool:
+  return jax.default_backend() == "cpu"
+
+
+def _log_cut(config: RasterConfig) -> float:
+  cut = 1.0 - config.saturate_threshold
+  return math.log(cut) if cut > 0.0 else _NEG_BIG
+
+
+def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
+  return jax.lax.dot_general(
+      a, b, dimension_numbers=(contract, ((), ())),
+      preferred_element_type=jnp.float32 if a.dtype == jnp.bfloat16
+      else a.dtype, precision=precision)
+
+
+def _mask_mm(mask_bf16, x, contract):
+  """Rank-mask contraction: exact 0/1 left operand; the right operand is
+  split into two bf16 parts so the f32 value survives to ~2^-16 relative
+  (each part runs 1-pass bf16 on the MXU).  CPU interpret stays exact."""
+  if use_interpret():
+    return _mm(mask_bf16.astype(x.dtype), x, contract)
+  hi = x.astype(jnp.bfloat16)
+  lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+  out = _mm(mask_bf16, hi, contract, precision=jax.lax.Precision.DEFAULT)
+  out = out + _mm(mask_bf16, lo, contract,
+                  precision=jax.lax.Precision.DEFAULT)
+  return out.astype(x.dtype)
+
+
+def _mm2(a, b_exact, contract):
+  """2-pass split matmul: ``a`` is split into two bf16 parts (f32-grade
+  accuracy); ``b_exact`` MUST be exactly bf16-representable (the centered
+  pixel basis is, by construction).  6-pass HIGHEST costs 3x this."""
+  if use_interpret():
+    return _mm(a, b_exact.astype(a.dtype), contract)
+  hi = a.astype(jnp.bfloat16)
+  lo = (a - hi.astype(a.dtype)).astype(jnp.bfloat16)
+  bb = b_exact.astype(jnp.bfloat16)
+  out = _mm(hi, bb, contract, precision=jax.lax.Precision.DEFAULT)
+  out = out + _mm(lo, bb, contract, precision=jax.lax.Precision.DEFAULT)
+  return out.astype(a.dtype)
+
+
+def _mm1(a, b, contract):
+  """1-pass bf16 matmul with f32 accumulation (~0.4% per-element input
+  rounding): for feature/gradient contractions that tolerate bf16-grade
+  precision.  CPU interpret stays exact (oracle tests, f64 gradcheck)."""
+  if use_interpret():
+    return _mm(a, b.astype(a.dtype), contract)
+  return _mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), contract,
+             precision=jax.lax.Precision.DEFAULT).astype(a.dtype)
+
+
+def _pixel_rows(pix: int, tile_size: int, dtype):
+  """(k, PIX) CENTERED tile-local pixel basis rows (lane-major).
+
+  Centred coordinates (+-(tile_size-1)/2) make every basis entry exactly
+  bf16-representable (|p| <= 7.5 on 16px tiles, squares and products are
+  k*m/4 with k,m odd <= 15 — all within bf16's 8-bit mantissa), so split
+  2-pass matmuls against the basis are f32-grade.  Kernels shift the mean
+  by +tile_size/2 to match; all formulas use (p - mean) differences, so
+  nothing else changes."""
+  p = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+  half = tile_size * 0.5
+  pxl = (p % tile_size).astype(dtype) + 0.5 - half
+  pyl = (p // tile_size).astype(dtype) + 0.5 - half
+  one = jnp.ones((1, pix), dtype)
+  basis3 = jnp.concatenate([pxl, pyl, one], 0)
+  basis6 = jnp.concatenate(
+      [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl, one], 0)
+  return pxl, pyl, basis3, basis6
+
+
+def _assemble(edges_ref, strip_ref, rows_ref, i, s, g, *, s_edges: int,
+              gw: int, tw: int, groups_x: int, c_cap: int):
+  """Copy the fetch windows of (tile i, slab s) into rows_ref in fetch
+  order.  Returns (row count, per-window metadata for the backward's
+  copy-back: (band, k, dst_cursor, src_lo, len)).
+
+  Tiered static-size copies; each window's overrun tail is overwritten by
+  the next window (rows_ref has _TIERS[-1] slack rows)."""
+  gx = (g % groups_x) * gw
+  cursor = jnp.int32(0)
+  meta = []
+  for b in range(3):
+    for k, clo, chi in FETCH_WINDOWS:
+      hx = gx + i - 1 + k
+      hvalid = (hx >= 0) & (hx < tw)
+      for c in range(clo, chi):
+        idx = ((i + k) * 4 + c) * s_edges + s
+        lo = edges_ref[0, b, idx]
+        hi = edges_ref[0, b, idx + 1]
+        ln = jnp.where(hvalid, jnp.maximum(hi - lo, 0), 0)
+        ln = jnp.minimum(ln, c_cap - cursor)
+        for t_i, tier in enumerate(_TIERS):
+          lower = _TIERS[t_i - 1] if t_i else 0
+
+          @pl.when((ln > lower) & (ln <= tier))
+          def _(lo=lo, tier=tier, cur=cursor, b=b):
+            rows_ref[pl.ds(cur, tier), :] = strip_ref[
+                b, pl.ds(lo, tier), :]
+        meta.append((b, k, cursor, lo, ln))
+        cursor = cursor + ln
+  return cursor, meta
+
+
+def _rank_mask(rows_t, cnt, c_cap: int):
+  """(C, C) bf16 mask M[i,j] = depth-rank_i < depth-rank_j, fetch order.
+
+  Rank key = depth16 << 14 | slot (distinct; ties broken by fetch slot);
+  rows at/after cnt rank last (their alpha is masked to 0 anyway)."""
+  key_u = jax.lax.bitcast_convert_type(rows_t[-2:-1, :], jnp.int32)
+  d16 = key_u & 0xFFFF
+  slot = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
+  rk = jnp.where(slot < cnt, (d16 << 14) | slot, jnp.int32(2 ** 31 - 1))
+  rk_col = jnp.transpose(rk)                     # (C, 1)
+  return (rk_col < rk).astype(jnp.bfloat16)      # [i, j] = rank_i < rank_j
+
+
+def _geometry(rows_t, ox, oy):
+  """Per-row gaussian components in tile-local coords, lane-major (1, C)."""
+  mlx = rows_t[0:1, :] - ox
+  mly = rows_t[1:2, :] - oy
+  ax = rows_t[2:3, :]
+  ay = rows_t[3:4, :]
+  sx = rows_t[4:5, :]
+  sy = rows_t[5:6, :]
+  pa = rows_t[6:7, :]
+  return mlx, mly, ax, ay, sx, sy, pa
+
+
+def _alpha(geo, basis6, cnt, config, c_cap: int):
+  """(C, PIX) clamped/thresholded compositing alpha + raw alpha.
+
+  One (6,C)x(6,PIX) quadratic-form matmul + one exp; log point_alpha is
+  folded into the constant term (all-zero rows give alpha ~ 0)."""
+  mlx, mly, ax, ay, sx, sy, pa = geo
+  isx2 = 1.0 / jnp.maximum(sx * sx, 1e-24)
+  isy2 = 1.0 / jnp.maximum(sy * sy, 1e-24)
+  a2 = ax * ax
+  b2 = ay * ay
+  cxx = -0.5 * (a2 * isx2 + b2 * isy2)
+  cyy = -0.5 * (b2 * isx2 + a2 * isy2)
+  cxy = -(ax * ay * (isx2 - isy2))
+  c_px = -(2.0 * cxx * mlx + cxy * mly)
+  c_py = -(2.0 * cyy * mly + cxy * mlx)
+  c_1 = (cxx * mlx * mlx + cxy * mlx * mly + cyy * mly * mly
+         + jnp.log(jnp.maximum(pa, 1e-30)))
+  lq = jnp.concatenate([cxx, cxy, cyy, c_px, c_py, c_1], 0)   # (6, C)
+  a_raw = jnp.exp(_mm2(lq, basis6, ((0,), (0,))))             # (C, PIX)
+  slot_col = jax.lax.broadcasted_iota(jnp.int32, (c_cap, 1), 0)
+  ok = (a_raw > config.alpha_threshold) & (slot_col < cnt)
+  a = jnp.where(ok, jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
+  return a, a_raw
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
+                img_ref, strip_ref, rows_ref, carry_ref,
+                *, config: RasterConfig, f: int, gw: int, tw: int,
+                groups_x: int, s_edges: int, c_cap: int, s_cap: int):
+  g = pl.program_id(0)
+  pix = config.tile_area
+  dtype = rows_ref.dtype
+  lcut = _log_cut(config)
+  ts = config.tile_size
+
+  for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
+    strip_ref[b, 0:s_cap, :] = blk_a[...]
+    strip_ref[b, s_cap:2 * s_cap, :] = blk_b[...]
+
+  _, _, basis3, basis6 = _pixel_rows(pix, ts, dtype)
+
+  def tile_body(i, _):
+    ox = (((g % groups_x) * gw + i) * ts).astype(dtype) + ts * 0.5
+    oy = ((g // groups_x) * ts).astype(dtype) + ts * 0.5
+
+    def slab_body(s, _):
+      first = s == 0
+      saturated = jnp.logical_and(
+          jnp.logical_not(first), jnp.max(carry_ref[...]) <= lcut)
+
+      @pl.when(jnp.logical_not(saturated))
+      def _():
+        cnt, _meta = _assemble(
+            edges_ref, strip_ref, rows_ref, i, s, g, s_edges=s_edges,
+            gw=gw, tw=tw, groups_x=groups_x, c_cap=c_cap)
+        rows_t = jnp.transpose(rows_ref[0:c_cap, :])        # (W, C)
+        # zero rows beyond the assembled count: stale scratch may hold NaN
+        # bit patterns, and 0 * NaN = NaN would poison every contraction
+        # over the row axis (same trap as layout.py's segment-sum)
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
+        rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
+        geo = _geometry(rows_t, ox, oy)
+        a, _ = _alpha(geo, basis6, cnt, config, c_cap)
+
+        l = jnp.log1p(-a)                                   # (C, PIX)
+        mask_lt = _rank_mask(rows_t, cnt, c_cap)            # (C, C)
+        lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
+                          carry_ref[...])
+        lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
+        t = jnp.exp(lt)
+        w = jnp.where(lt > lcut, a * t, 0.0)
+
+        feats_t = rows_t[7:7 + f, :]                        # (F, C)
+        frow = jnp.concatenate(
+            [feats_t, jnp.ones((1, c_cap), dtype)], 0)      # (F+1, C)
+        contrib = _mm(frow, w, ((1,), (0,)),
+                      precision=jax.lax.Precision.DEFAULT)  # (F+1, PIX)
+
+        @pl.when(first)
+        def _():
+          img_ref[i, :, :] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+          img_ref[i, :, :] += contrib
+
+        lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
+        carry_ref[...] = jnp.maximum(
+            lt_end,
+            jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
+
+      return 0
+
+    jax.lax.fori_loop(0, s_edges, slab_body, 0)
+    return 0
+
+  jax.lax.fori_loop(0, gw, tile_body, 0)
+
+
+def stream_forward(mapping: StreamMapping, config: RasterConfig):
+  """Forward rasterization over a stream mapping.
+
+  Returns image_tiled (T, F+1, PIX); channel F is the alpha image."""
+  f = mapping.feature_size
+  gw = mapping.group_width
+  groups_x = mapping.tiles_wide // gw
+  s_cap = mapping.strip_cap
+  c_cap = mapping.slab_cap
+  pix = config.tile_area
+  width = mapping.table.shape[1]
+  dtype = mapping.table.dtype
+  n_groups = mapping.num_groups
+  tbl = mapping.edges.shape[-1]
+
+  kernel = functools.partial(
+      _fwd_kernel, config=config, f=f, gw=gw, tw=mapping.tiles_wide,
+      groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
+      s_cap=s_cap)
+
+  def strip_spec(b, which):
+    return pl.BlockSpec(
+        (s_cap, width), lambda g, sb, b=b, w=which: (sb[g, b] + w, 0))
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(n_groups,),
+      in_specs=[
+          pl.BlockSpec((1, 3, tbl), lambda g, sb: (g, 0, 0),
+                       memory_space=pltpu.SMEM),
+          strip_spec(0, 0), strip_spec(0, 1),
+          strip_spec(1, 0), strip_spec(1, 1),
+          strip_spec(2, 0), strip_spec(2, 1),
+      ],
+      out_specs=[
+          pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((3, 2 * s_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((c_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((1, pix), dtype),
+      ],
+  )
+
+  (image_tiled,) = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((n_groups * gw, f + 1, pix), dtype),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=use_interpret(),
+  )(mapping.strip_blk, mapping.edges,
+    mapping.table, mapping.table, mapping.table,
+    mapping.table, mapping.table, mapping.table)
+
+  return image_tiled
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
+                img_ref, gimg_ref,
+                gout_ref,
+                strip_ref, rows_ref, carry_ref, grows_ref,
+                *, config: RasterConfig, f: int, gw: int, tw: int, th: int,
+                groups_x: int, s_edges: int, c_cap: int, s_cap: int,
+                run_cap: int, slabw: int):
+  g = pl.program_id(0)
+  pix = config.tile_area
+  dtype = rows_ref.dtype
+  lcut = _log_cut(config)
+  heur = config.compute_point_heuristic
+  ts = config.tile_size
+
+  for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
+    strip_ref[b, 0:s_cap, :] = blk_a[...]
+    strip_ref[b, s_cap:2 * s_cap, :] = blk_b[...]
+
+  gout_ref[...] = jnp.zeros(gout_ref.shape, gout_ref.dtype)
+
+  pxl, pyl, basis3, basis6 = _pixel_rows(pix, ts, dtype)
+  ones_pix = jnp.ones((1, pix), dtype)
+
+  def tile_body(i, _):
+    ox = (((g % groups_x) * gw + i) * ts).astype(dtype) + ts * 0.5
+    oy = ((g // groups_x) * ts).astype(dtype) + ts * 0.5
+    gimg = gimg_ref[i]                                      # (F+1, PIX)
+    img = img_ref[i]
+    s_total = jnp.sum(gimg * img, 0, keepdims=True)         # (1, PIX)
+
+    def slab_body(s, _):
+      first = s == 0
+      saturated = jnp.logical_and(
+          jnp.logical_not(first), jnp.max(carry_ref[0:1, :]) <= lcut)
+
+      @pl.when(jnp.logical_not(saturated))
+      def _():
+        cnt, meta = _assemble(
+            edges_ref, strip_ref, rows_ref, i, s, g, s_edges=s_edges,
+            gw=gw, tw=tw, groups_x=groups_x, c_cap=c_cap)
+        rows_t = jnp.transpose(rows_ref[0:c_cap, :])
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
+        rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
+        geo = _geometry(rows_t, ox, oy)
+        mlx, mly, ax, ay, sx, sy, pa = geo
+        a, a_raw = _alpha(geo, basis6, cnt, config, c_cap)
+        clamp_live = (a_raw < config.clamp_max_alpha).astype(dtype)
+
+        l = jnp.log1p(-a)
+        mask_lt = _rank_mask(rows_t, cnt, c_cap)
+        lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
+                          carry_ref[0:1, :])
+        lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
+        t = jnp.exp(lt)
+        live = ((lt > lcut) & (a > 0.0)).astype(dtype)
+        w = a * t * live
+
+        feats_t = rows_t[7:7 + f, :]
+        frow = jnp.concatenate([feats_t, jnp.ones((1, c_cap), dtype)], 0)
+        gf = _mm1(frow, gimg, ((0,), (0,)))                 # (C, PIX)
+        wgf = w * gf
+
+        # remaining-feature scalar: s_i = total - (prev slabs + inclusive
+        # depth prefix of wgf), all in fetch layout
+        cum = _mask_mm(mask_lt, wgf, ((0,), (0,))) + wgf
+        s_prev = jnp.where(first, jnp.zeros((1, pix), dtype),
+                           carry_ref[1:2, :])
+        s_i = s_total - (cum + s_prev)
+        one_minus = 1.0 - a
+        alpha_grad = (t * gf - s_i / one_minus) * live      # (C, PIX)
+
+        # per-point gradients, factored through pixel moments on the MXU;
+        # transposed contractions keep results lane-major (k, C)
+        z0 = alpha_grad * clamp_live * a_raw
+        isx = 1.0 / jnp.maximum(sx, 1e-12)
+        isy = 1.0 / jnp.maximum(sy, 1e-12)
+        lu = jnp.concatenate(
+            [ax * isx, ay * isx, -(mlx * ax + mly * ay) * isx], 0)  # (3,C)
+        lv = jnp.concatenate(
+            [-ay * isy, ax * isy, (mlx * ay - mly * ax) * isy], 0)
+        u = _mm2(lu, basis3, ((0,), (0,)))                  # (C, PIX)
+        v = _mm2(lv, basis3, ((0,), (0,)))
+        zu = z0 * u
+        zv = z0 * v
+        mu = _mm1(basis3, zu, ((1,), (1,)))                 # (3, C)
+        mv = _mm1(basis3, zv, ((1,), (1,)))
+
+        su_px, su_py, su = mu[0:1], mu[1:2], mu[2:3]
+        sv_px, sv_py, sv = mv[0:1], mv[1:2], mv[2:3]
+
+        g_mx = ax * isx * su - ay * isy * sv
+        g_my = ay * isx * su + ax * isy * sv
+        su_dx = su_px - mlx * su
+        su_dy = su_py - mly * su
+        sv_dx = sv_px - mlx * sv
+        sv_dy = sv_py - mly * sv
+        g_ax = -isx * su_dx - isy * sv_dy
+        g_ay = -isx * su_dy + isy * sv_dx
+        suu = lu[0:1] * su_px + lu[1:2] * su_py + lu[2:3] * su
+        svv = lv[0:1] * sv_px + lv[1:2] * sv_py + lv[2:3] * sv
+        g_sx = isx * suu
+        g_sy = isy * svv
+
+        z0s = _mm1(ones_pix, z0, ((1,), (1,)))              # (1, C)
+        g_pa = z0s / jnp.maximum(pa, 1e-20)
+        g_feats = _mm1(w, gimg[:f], ((1,), (1,)))           # (C, F)
+
+        cols_t = [g_mx, g_my, g_ax, g_ay, g_sx, g_sy, g_pa]
+        if heur:
+          aag_h = pa * alpha_grad
+          prune = _mm1(ones_pix, aag_h * aag_h, ((1,), (1,)))
+          dmx_u = u * (isx * ax) - v * (isy * ay)
+          dmy_u = u * (isx * ay) + v * (isy * ax)
+          split = _mm1(ones_pix,
+                       jnp.abs(z0 * dmx_u) + jnp.abs(z0 * dmy_u),
+                       ((1,), (1,)))
+          cols_t += [prune, split]
+        gt = jnp.concatenate(cols_t, 0)                     # (slabw-F, C)
+        parts = [jnp.transpose(gt[:7, :]), g_feats]
+        if heur:
+          parts.append(jnp.transpose(gt[7:, :]))
+        grows_ref[0:c_cap, :] = jnp.concatenate(parts, -1)  # (C, slabw)
+
+        # copy-back: fetch-order grad rows -> RUN_CAP-strided band buffers.
+        # Read-modify-write: a raw tiered copy's overrun tail would clobber
+        # the zero-init of neighbouring homes' never-written cells.
+        for b, k, dst, lo, ln in meta:
+          run0 = edges_ref[0, b, ((i + k) * 4 + 0) * s_edges + 0]
+          off = (i + k) * run_cap + (lo - run0)
+          ln_c = jnp.minimum(ln, (i + k + 1) * run_cap - off)
+          for t_i, tier in enumerate(_TIERS):
+            lower = _TIERS[t_i - 1] if t_i else 0
+
+            @pl.when((ln_c > lower) & (ln_c <= tier))
+            def _(dst=dst, off=off, ln_c=ln_c, tier=tier, b=b, k=k):
+              # value-level RMW into the slab's STATIC lane range: dynamic
+              # offsets live on sublanes only, and narrow-lane buffers get
+              # 12.8x tile padding — so all 9 slabs share the lane axis
+              left = (b * 3 + k) * slabw
+              riota = jax.lax.broadcasted_iota(jnp.int32, (tier, 1), 0)
+              old = gout_ref[0, pl.ds(off, tier), :]
+              new_rows = grows_ref[pl.ds(dst, tier), :]
+              parts = [new_rows]
+              if left > 0:
+                parts.insert(0, jnp.zeros((tier, left), new_rows.dtype))
+              if 8 * slabw - left > 0:
+                parts.append(
+                    jnp.zeros((tier, 8 * slabw - left), new_rows.dtype))
+              placed = jnp.concatenate(parts, -1)
+              keep = jnp.logical_or(
+                  riota >= ln_c,
+                  (jax.lax.broadcasted_iota(jnp.int32, (1, 9 * slabw), 1)
+                   // slabw) != (b * 3 + k))
+              gout_ref[0, pl.ds(off, tier), :] = (
+                  jnp.where(keep, old, placed))
+
+        lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
+        carry_ref[0:1, :] = jnp.maximum(
+            lt_end,
+            jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
+        carry_ref[1:2, :] = s_prev + jnp.sum(wgf, 0, keepdims=True)
+
+      return 0
+
+    jax.lax.fori_loop(0, s_edges, slab_body, 0)
+    return 0
+
+  jax.lax.fori_loop(0, gw, tile_body, 0)
+
+
+def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
+                    config: RasterConfig, run_cap: int):
+  """Backward pass: RUN_CAP-strided per-class gradient slabs.
+
+  Returns the per-GROUP slab blocks
+  (n_groups, (gw+2)*run_cap + slack, 9*slabw) f32, where
+  slabw = 7 + F [+ 2 heuristics] and slab (b, k) row (j*run_cap + r)
+  holds tile (gx+j+1-k... ) contributions for home position j (= home
+  gx-1+j), in-run offset r.  Use stream_reduce to canonicalise and sum;
+  cells of out-of-image tiles are zero or garbage — masked there."""
+  f = mapping.feature_size
+  gw = mapping.group_width
+  tw = mapping.tiles_wide
+  groups_x = tw // gw
+  s_cap = mapping.strip_cap
+  c_cap = mapping.slab_cap
+  pix = config.tile_area
+  width = mapping.table.shape[1]
+  dtype = mapping.table.dtype
+  n_groups = mapping.num_groups
+  tbl = mapping.edges.shape[-1]
+  slabw = 7 + f + (2 if config.compute_point_heuristic else 0)
+
+  kernel = functools.partial(
+      _bwd_kernel, config=config, f=f, gw=gw, tw=tw, th=mapping.tiles_high,
+      groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
+      s_cap=s_cap, run_cap=run_cap, slabw=slabw)
+
+  def strip_spec(b, which):
+    return pl.BlockSpec(
+        (s_cap, width), lambda g, sb, b=b, w=which: (sb[g, b] + w, 0))
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(n_groups,),
+      in_specs=[
+          pl.BlockSpec((1, 3, tbl), lambda g, sb: (g, 0, 0),
+                       memory_space=pltpu.SMEM),
+          strip_spec(0, 0), strip_spec(0, 1),
+          strip_spec(1, 0), strip_spec(1, 1),
+          strip_spec(2, 0), strip_spec(2, 1),
+          pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+          pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, (gw + 2) * run_cap + _TIERS[-1], 9 * slabw),
+                       lambda g, sb: (g, 0, 0)),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((3, 2 * s_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((c_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((2, pix), dtype),
+          pltpu.VMEM((c_cap + _TIERS[-1], slabw), dtype),
+      ],
+  )
+
+  (gout,) = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct(
+              (n_groups, (gw + 2) * run_cap + _TIERS[-1], 9 * slabw),
+              dtype),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=use_interpret(),
+  )(mapping.strip_blk, mapping.edges,
+    mapping.table, mapping.table, mapping.table,
+    mapping.table, mapping.table, mapping.table,
+    image_tiled, g_image_tiled)
+
+  return gout
