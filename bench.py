@@ -8,6 +8,12 @@ bicycle workload scale (~2M visible splats at 2048x1536 with a similar
 overlap/pixel profile); the comparison is approximate until real scene data
 is wired in.
 
+Uses the tile-stream pipeline (tpu_splatting/rasterizer/stream*.py): one
+N-sized home sort, windowed fetch, rank-mask-matmul compositing, sort-free
+gradient reduction.  The mapping is rebuilt EVERY iteration (the reference
+protocol renders a new viewpoint per frame) and the run is only published if
+no overlaps were dropped (num_overflow == 0).
+
 Prints: {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 """
 
@@ -28,13 +34,13 @@ def main():
   import jax.numpy as jnp
 
   from tpu_splatting import RasterConfig
-  from tpu_splatting.mapper.tile_mapper import map_to_tiles
-  from tpu_splatting.rasterizer.function import rasterize_with_tiles
+  from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
+  from tpu_splatting.rasterizer.stream_function import (
+      stream_rasterize_with_mapping)
   from tpu_splatting.utils.benchmarked import benchmarked
 
   image_size = (2048, 1536)
   n = 2_000_000
-  max_overlaps = 1 << 22
 
   rng = np.random.default_rng(0)
   w, h = image_size
@@ -51,38 +57,37 @@ def main():
   depth = jnp.asarray(rng.uniform(0.05, 0.95, n).astype(np.float32))
   feats = jnp.asarray(rng.random((n, 3)).astype(np.float32))
 
-  config = RasterConfig(chunk_size=128)
+  config = RasterConfig()
+  gw = 2
+
+  cal = calibrate_stream(packed, depth, feats, image_size, config,
+                         group_width=gw)
+  print(f"# calibration: {cal}", file=sys.stderr)
+  run_cap = cal["run_cap"]
 
   def fwd_bwd(p, f, d):
-    mapping = map_to_tiles(jax.lax.stop_gradient(p),
-                           jax.lax.stop_gradient(d), image_size, config,
-                           max_overlaps=max_overlaps, use_depth16=True,
-                           features=jax.lax.stop_gradient(f))
+    mapping = stream_map(
+        jax.lax.stop_gradient(p), jax.lax.stop_gradient(d),
+        jax.lax.stop_gradient(f), image_size, config,
+        num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
+        slab_cap=cal["slab_cap"], group_width=gw)
 
     def loss(p, f):
-      o = rasterize_with_tiles(p, f, mapping, image_size, config)
-      return jnp.sum(o.image ** 2) + jnp.sum(o.image_weight)
+      img, wgt = stream_rasterize_with_mapping(
+          p, f, mapping, image_size, config, run_cap=run_cap)
+      return jnp.sum(img ** 2) + jnp.sum(wgt)
 
     return jax.grad(loss, argnums=(0, 1))(p, f)
 
-  # the benchmark is only valid if NO overlaps were dropped: auto-grow the
-  # capacity until overflow is zero, fail the metric if it never is
-  for _ in range(4):
-    m = jax.jit(lambda p, d, f: map_to_tiles(
-        p, d, image_size, config, max_overlaps=max_overlaps,
-        use_depth16=True, features=f))(packed, depth, feats)
-    overflow = int(m.num_overflow)
-    print(f"# overlaps capacity {max_overlaps}, overflow {overflow}",
-          file=sys.stderr)
-    if overflow == 0:
-      break
-    # grow just past the measured need (oversized capacity pads the chunk
-    # grid with dummies and slows every downstream stage)
-    need = int((max_overlaps + overflow) * 1.1)
-    max_overlaps = ((need + 127) // 128) * 128
-  assert overflow == 0, (
-      f"benchmark invalid: {overflow} overlaps dropped at capacity "
-      f"{max_overlaps}")
+  # the benchmark is only valid if NO overlaps were dropped
+  m = jax.jit(lambda p, d, f: stream_map(
+      p, d, f, image_size, config, num_slabs=cal["num_slabs"],
+      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
+      group_width=gw))(packed, depth, feats)
+  overflow = int(m.num_overflow)
+  print(f"# overflow {overflow}", file=sys.stderr)
+  assert overflow == 0, f"benchmark invalid: {overflow} rows dropped"
+  assert cal["max_run"] <= run_cap
 
   ms = benchmarked("fwd+bwd 2048px 2M splats", fwd_bwd,
                    (packed, feats, depth), iters=3)

@@ -25,6 +25,8 @@ def main():
   p.add_argument("--iters", type=int, default=5)
   p.add_argument("--group-width", type=int, default=2)
   p.add_argument("--slab-cap", type=int, default=512)
+  p.add_argument("--strip-cap", type=int, default=0)
+  p.add_argument("--fwd-only", action="store_true")
   args = p.parse_args()
 
   image_size = (args.width, args.height)
@@ -37,6 +39,9 @@ def main():
                          group_width=gw, slab_cap=args.slab_cap)
   print("# calibration:", cal)
   run_cap = cal["run_cap"]
+  if args.strip_cap:
+    assert 2 * args.strip_cap >= cal["max_strip_rows"]
+    cal["strip_cap"] = args.strip_cap
 
   map_f = lambda p_, d_, f_: stream_map(
       p_, d_, f_, image_size, config, num_slabs=cal["num_slabs"],
@@ -54,6 +59,8 @@ def main():
   fwd = lambda p_, f_, mm: stream_rasterize_with_mapping(
       p_, f_, mm, image_size, config, run_cap=run_cap)[0]
   benchmarked("stream_forward", fwd, (packed, feats, m), iters=it)
+  if args.fwd_only:
+    return
 
   def loss(p_, f_, mm):
     img, w = stream_rasterize_with_mapping(
@@ -88,5 +95,46 @@ def main():
               iters=it)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--profile-fwd" not in __import__("sys").argv:
   main()
+
+
+def profile_fwd():
+  """Ablation profile of the forward kernel at a given scene."""
+  import argparse
+  p = argparse.ArgumentParser()
+  p.add_argument("--n", type=int, default=2_000_000)
+  p.add_argument("--width", type=int, default=2048)
+  p.add_argument("--height", type=int, default=1536)
+  p.add_argument("--scale", type=float, default=1.2)
+  p.add_argument("--group-width", type=int, default=4)
+  p.add_argument("--slab-cap", type=int, default=512)
+  p.add_argument("--profile-fwd", action="store_true")
+  args, _ = p.parse_known_args()
+  image_size = (args.width, args.height)
+  packed, depth, feats = synthetic_2d(args.n, image_size,
+                                      scale_factor=args.scale)
+  config = RasterConfig()
+  gw = args.group_width
+  cal = calibrate_stream(packed, depth, feats, image_size, config,
+                         group_width=gw, slab_cap=args.slab_cap)
+  print("# calibration:", cal)
+  m = jax.jit(lambda p_, d_, f_: stream_map(
+      p_, d_, f_, image_size, config, num_slabs=cal["num_slabs"],
+      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
+      group_width=gw))(packed, depth, feats)
+  from tpu_splatting.rasterizer.stream_kernels import stream_forward
+  _, counts = jax.jit(lambda mm: stream_forward(
+      mm, config, with_counts=True))(m)
+  total = int(np.asarray(counts)[::8, 0].sum())
+  print(f"# ACTIVE SLAB ITERS: {total} (tiles {m.num_tiles}, "
+        f"slabs {m.num_slabs})")
+  for ab in ("", "skeleton", "no_assemble", "no_mask", "no_alpha"):
+    benchmarked(f"fwd ablate={ab or 'none'}",
+                lambda mm, ab=ab: stream_forward(mm, config, ablate=ab),
+                (m,), iters=3)
+
+
+if __name__ == "__main__" and "--profile-fwd" in __import__("sys").argv:
+  profile_fwd()
+  raise SystemExit(0)

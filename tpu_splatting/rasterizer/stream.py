@@ -83,11 +83,16 @@ class StreamMapping:
     first fetched block (so in-kernel offsets index the 2-block scratch
     directly).
   strip_blk: (GROUPS, 3) i32 — S_CAP-block index of each band strip.
+  run_starts: (T+1,) i32 — global first-row index of each home's run.
+  plan: (GROUPS, GW*(CELLS+1)) i32 — per tile, the first depth CELL of
+    each merged slab (greedy <= slab_cap packing), padded with CELLS.
   num_overflow: () i32 — rows dropped by strip/slab capacity clamps.
   """
   table: jnp.ndarray
   edges: jnp.ndarray
   strip_blk: jnp.ndarray
+  run_starts: jnp.ndarray
+  plan: jnp.ndarray
   num_overflow: jnp.ndarray
 
   # static metadata
@@ -108,7 +113,8 @@ class StreamMapping:
 
 jax.tree_util.register_dataclass(
     StreamMapping,
-    data_fields=["table", "edges", "strip_blk", "num_overflow"],
+    data_fields=["table", "edges", "strip_blk", "run_starts", "plan",
+                 "num_overflow"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
                  "feature_size", "group_width", "num_slabs", "strip_cap",
                  "slab_cap"])
@@ -286,11 +292,42 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
 
   strip_over = jnp.maximum(
       (evals[:, :, -1] - evals[:, :, 0]) - 2 * strip_cap, 0)
-  # slab overflow: fetched rows per (tile, slab) beyond slab_cap.  The
-  # fetch set per (tile x0+i, band) is the (home, class) pairs
-  # FETCH_WINDOWS (home offset k relative to x-1, class range [clo, chi)).
+  # per-(tile, cell) fetched-row counts; the fetch set per (tile x0+i,
+  # band) is the (home, class) pairs of FETCH_WINDOWS
   counts = _tile_slab_counts(local, gx, gw, tbl_homes, s_edges,
-                             tw)   # (G, gw, S)
+                             tw)   # (G, gw, CELLS)
+
+  # --- per-tile slab PLAN: greedy packing of adjacent depth cells ---------
+  # Global quantile cells are FINE-grained; each tile merges consecutive
+  # cells into <= slab_cap-row slabs (plan[j] = first cell of slab j).
+  # Without this, shallow tiles pay full slab_cap compute per global slab
+  # (~2x padding waste at uniform scenes).  Cells wider than slab_cap on
+  # their own are clamped in-kernel and counted as overflow here.
+  def greedy(cnt_cells):
+    # cnt_cells: (CELLS,) -> plan (CELLS+1,): cell boundaries per slab,
+    # padded with CELLS.  Sequential over static CELLS.
+    plan = [jnp.int32(0)]
+    acc = cnt_cells[0]
+    cuts = []
+    for cell in range(1, s_edges):
+      cut = acc + cnt_cells[cell] > slab_cap
+      cuts.append(cut)
+      acc = jnp.where(cut, cnt_cells[cell], acc + cnt_cells[cell])
+    # slab boundaries: positions where a cut happened, in order
+    bounds = [jnp.int32(0)]
+    for cell in range(1, s_edges):
+      bounds.append(jnp.where(cuts[cell - 1], cell, 0))
+    b = jnp.stack(bounds)                       # 0 or cell index
+    # compact the nonzero cut positions to the front, pad with CELLS
+    order = jnp.argsort(jnp.where(b > 0, b, jnp.int32(10 ** 6)))
+    compacted = jnp.where(b[order] > 0, b[order], s_edges)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), compacted[:s_edges - 1],
+         jnp.full((1,), s_edges, jnp.int32)])
+
+  flat_counts = counts.reshape(-1, s_edges)
+  plan = jax.vmap(greedy)(flat_counts)          # (G*gw, CELLS+1)
+  plan = plan.reshape(n_groups, gw * (s_edges + 1))
   slab_over = jnp.maximum(counts - slab_cap, 0).sum(dtype=jnp.int32)
 
   num_overflow = (num_far + strip_over.sum(dtype=jnp.int32) + slab_over)
@@ -299,6 +336,8 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
       table=table,
       edges=local_cl,
       strip_blk=strip_blk.astype(jnp.int32),
+      run_starts=edges_all[0::4 * s_edges],
+      plan=plan,
       num_overflow=num_overflow,
       num_points=n,
       num_tiles=num_tiles,
@@ -333,7 +372,10 @@ def calibrate_stream(gaussians, depth, features, image_size,
   # consecutive 4*S-stride entries bound each home's run
   eh = e[:, :, 0:(gw + 2) * 4 + 1:4]
   max_run = int(jax.device_get((eh[:, :, 1:] - eh[:, :, :-1]).max()))
-  num_slabs = max(1, -(-int(max_rows * 1.15) // slab_cap))
+  # fine-grained depth cells: the per-tile greedy plan merges adjacent
+  # cells into <= slab_cap slabs, so finer cells pack shallow tiles into
+  # fewer, fuller slabs (2x finer than the worst tile needs, capped)
+  num_slabs = min(12, max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
   strip_cap = 1024
   while strip_cap < strip_len * 1.1:
     strip_cap *= 2

@@ -40,69 +40,65 @@ def _bitcast_i(x):
 
 def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
                   run_cap: int, slabw: int) -> jnp.ndarray:
-  """Reduce the RUN_CAP-strided per-class gradient slabs to per-point
-  gradients in the CALLER's point order: one (N,) row gather + masked sum
-  of the 9 class slabs + one N-sized inverse sort."""
+  """Reduce the per-group gradient slab blocks to per-point gradients in
+  the CALLER's point order — gather-free: 9 statically-shifted slab adds,
+  one R-sized compaction sort (drop run padding), one N-sized inverse
+  sort back to original pids.  Every index quantity is elementwise.
+  """
   n = mapping.num_points
   tw = mapping.tiles_wide
   th = mapping.tiles_high
   t_total = mapping.num_tiles
-
-  key = _bitcast_u(mapping.table[:n, -2])
-  pid = _bitcast_i(mapping.table[:n, -1])
-  h = (key >> 18).astype(jnp.int32)                 # home id; sentinel >= T
-  ok = h < t_total
-
-  # in-run offset without gathers: runs are contiguous in sorted order
-  idx = jnp.arange(n, dtype=jnp.int32)
-  h_prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), h[:-1]])
-  run_start = jax.lax.cummax(jnp.where(h != h_prev, idx, 0))
-  r = idx - run_start
-  in_cap = r < run_cap
-
-  gidx = jnp.where(ok & in_cap, h, 0) * run_cap + jnp.where(in_cap, r, 0)
-
-  # canonicalise per-group slab blocks -> (R, 9*slabw) home-major rows.
-  # Group (gy, gx) slab (b, k) position j holds home gx-1+j (its owned
-  # homes are positions [k, gw+k)); concatenating owned windows group-
-  # major and shifting by ((b-1)*tw + (k-1))*run_cap aligns every slab to
-  # canonical home rows (ownership tiles the band exactly).
   gw = mapping.group_width
   r_rows = t_total * run_cap
-  canon = []
-  for b in range(3):
-    for k in range(3):
-      c0 = (b * 3 + k) * slabw
-      sl = gout[:, k * run_cap:(k + gw) * run_cap, c0:c0 + slabw]
-      sl = sl.reshape(-1, slabw)                     # (T*run_cap, S)
-      shift = ((b - 1) * tw + (k - 1)) * run_cap
-      if shift > 0:
-        sl = jnp.concatenate(
-            [jnp.zeros((shift, slabw), sl.dtype), sl[:-shift]], 0)
-      elif shift < 0:
-        sl = jnp.concatenate(
-            [sl[-shift:], jnp.zeros((-shift, slabw), sl.dtype)], 0)
-      canon.append(sl)
-  flat = jnp.concatenate(canon, -1)                  # (R, 9*slabw)
-  rows = flat[gidx]                                  # (N, 9*slabw) gather
 
+  # --- canonicalise + sum the 9 slabs -----------------------------------
+  # Group-slot position j of group (gy, gx) holds home gx-1+j; slab (b,k)
+  # owns positions [k, gw+k).  Concatenating owned windows group-major and
+  # shifting by ((b-1)*tw + (k-1))*run_cap aligns slab (b,k) to canonical
+  # home-major rows (ownership tiles each band exactly).  Validity of a
+  # cell depends only on its home id — elementwise in the row index.
+  row = jnp.arange(r_rows, dtype=jnp.int32)
+  h = row // run_cap
   hb = h // tw
   hx = h % tw
-  g_pt = jnp.zeros((n, slabw), gout.dtype)
+
+  # Work COLUMN-WISE in dense 1D (R,) arrays throughout: any (R, slabw)
+  # intermediate would tile-pad 12.8x in HBM (T(8,128) on a 10-wide minor
+  # dim) — at headline scale that alone OOMs the chip.
+  acc_cols = [jnp.zeros((r_rows,), jnp.float32) for _ in range(slabw)]
   for b in range(3):
     tile_band = hb - b + 1
     band_ok = (tile_band >= 0) & (tile_band < th)
     for k in range(3):
+      c0 = (b * 3 + k) * slabw
       tile_x = hx + 1 - k
-      valid = (ok & in_cap & band_ok
-               & (tile_x >= 0) & (tile_x < tw))[:, None]
-      slab = rows[:, (b * 3 + k) * slabw:(b * 3 + k + 1) * slabw]
-      g_pt = g_pt + jnp.where(valid, slab, 0.0)
+      valid = band_ok & (tile_x >= 0) & (tile_x < tw)
+      shift = ((b - 1) * tw + (k - 1)) * run_cap
+      for c in range(slabw):
+        col = gout[:, k * run_cap:(k + gw) * run_cap, c0 + c]
+        col = col.reshape(r_rows).astype(jnp.float32)
+        if shift > 0:
+          col = jnp.concatenate(
+              [jnp.zeros((shift,), col.dtype), col[:-shift]], 0)
+        elif shift < 0:
+          col = jnp.concatenate(
+              [col[-shift:], jnp.zeros((-shift,), col.dtype)], 0)
+        acc_cols[c] = acc_cols[c] + jnp.where(valid, col, 0.0)
 
-  # inverse permutation: home order -> caller's point order
-  ops = (pid,) + tuple(g_pt[:, c] for c in range(slabw))
-  s = jax.lax.sort(ops, num_keys=1)
-  return jnp.stack(s[1:], -1)
+  # --- compact away run padding (stable sort by is-padding) -------------
+  run_lens = jnp.minimum(mapping.run_starts[1:] - mapping.run_starts[:-1],
+                         run_cap)
+  pad_row = (row % run_cap) >= jnp.repeat(run_lens, run_cap)
+  ops = (pad_row.astype(jnp.int32),) + tuple(acc_cols)
+  s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+  g_home = jnp.stack(s[1:], -1)[:n]      # (N, slabw), home-sorted order
+
+  # --- inverse permutation: home order -> caller's point order ----------
+  pid = _bitcast_i(mapping.table[:n, -1])
+  ops2 = (pid,) + tuple(g_home[:, c] for c in range(slabw))
+  s2 = jax.lax.sort(ops2, num_keys=1)
+  return jnp.stack(s2[1:], -1)
 
 
 def detile(image_tiled: jnp.ndarray, tiles_wide: int, tiles_high: int,

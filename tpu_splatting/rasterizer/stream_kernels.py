@@ -69,17 +69,18 @@ def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
       else a.dtype, precision=precision)
 
 
-def _mask_mm(mask_bf16, x, contract):
+def _mask_mm(mask_bf16, x, contract, passes: int = 2):
   """Rank-mask contraction: exact 0/1 left operand; the right operand is
-  split into two bf16 parts so the f32 value survives to ~2^-16 relative
-  (each part runs 1-pass bf16 on the MXU).  CPU interpret stays exact."""
+  split into ``passes`` bf16 parts (2 -> ~2^-16 relative, 1 -> ~0.4%).
+  CPU interpret stays exact."""
   if use_interpret():
     return _mm(mask_bf16.astype(x.dtype), x, contract)
   hi = x.astype(jnp.bfloat16)
-  lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
   out = _mm(mask_bf16, hi, contract, precision=jax.lax.Precision.DEFAULT)
-  out = out + _mm(mask_bf16, lo, contract,
-                  precision=jax.lax.Precision.DEFAULT)
+  if passes >= 2:
+    lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+    out = out + _mm(mask_bf16, lo, contract,
+                    precision=jax.lax.Precision.DEFAULT)
   return out.astype(x.dtype)
 
 
@@ -127,11 +128,11 @@ def _pixel_rows(pix: int, tile_size: int, dtype):
   return pxl, pyl, basis3, basis6
 
 
-def _assemble(edges_ref, strip_ref, rows_ref, i, s, g, *, s_edges: int,
-              gw: int, tw: int, groups_x: int, c_cap: int):
-  """Copy the fetch windows of (tile i, slab s) into rows_ref in fetch
-  order.  Returns (row count, per-window metadata for the backward's
-  copy-back: (band, k, dst_cursor, src_lo, len)).
+def _assemble(edges_ref, strip_ref, rows_ref, i, cell_lo, cell_hi, g, *,
+              s_edges: int, gw: int, tw: int, groups_x: int, c_cap: int):
+  """Copy the fetch windows of tile i, depth cells [cell_lo, cell_hi)
+  into rows_ref in fetch order.  Returns (row count, per-window metadata
+  for the backward's copy-back: (band, k, dst_cursor, src_lo, len)).
 
   Tiered static-size copies; each window's overrun tail is overwritten by
   the next window (rows_ref has _TIERS[-1] slack rows)."""
@@ -143,9 +144,9 @@ def _assemble(edges_ref, strip_ref, rows_ref, i, s, g, *, s_edges: int,
       hx = gx + i - 1 + k
       hvalid = (hx >= 0) & (hx < tw)
       for c in range(clo, chi):
-        idx = ((i + k) * 4 + c) * s_edges + s
-        lo = edges_ref[0, b, idx]
-        hi = edges_ref[0, b, idx + 1]
+        idx = ((i + k) * 4 + c) * s_edges
+        lo = edges_ref[0, b, idx + cell_lo]
+        hi = edges_ref[0, b, idx + cell_hi]
         ln = jnp.where(hvalid, jnp.maximum(hi - lo, 0), 0)
         ln = jnp.minimum(ln, c_cap - cursor)
         for t_i, tier in enumerate(_TIERS):
@@ -215,10 +216,11 @@ def _alpha(geo, basis6, cnt, config, c_cap: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
-                img_ref, strip_ref, rows_ref, carry_ref,
+def _fwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
+                img_ref, cnt_ref, strip_ref, rows_ref, carry_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int,
-                groups_x: int, s_edges: int, c_cap: int, s_cap: int):
+                groups_x: int, s_edges: int, c_cap: int, s_cap: int,
+                ablate: str = ""):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
@@ -229,6 +231,8 @@ def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
     strip_ref[b, 0:s_cap, :] = blk_a[...]
     strip_ref[b, s_cap:2 * s_cap, :] = blk_b[...]
 
+  cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+
   _, _, basis3, basis6 = _pixel_rows(pix, ts, dtype)
 
   def tile_body(i, _):
@@ -237,15 +241,17 @@ def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
     def slab_body(s, _):
       first = s == 0
+      cell_lo = plan_ref[0, 0, i * (s_edges + 1) + s]
+      cell_hi = plan_ref[0, 0, i * (s_edges + 1) + s + 1]
       saturated = jnp.logical_and(
           jnp.logical_not(first), jnp.max(carry_ref[...]) <= lcut)
 
-      @pl.when(jnp.logical_not(saturated))
-      def _():
-        cnt, _meta = _assemble(
-            edges_ref, strip_ref, rows_ref, i, s, g, s_edges=s_edges,
-            gw=gw, tw=tw, groups_x=groups_x, c_cap=c_cap)
+      def _compute(cnt):
+        cnt_ref[0, :] += 1.0
         rows_t = jnp.transpose(rows_ref[0:c_cap, :])        # (W, C)
+        if ablate == "skeleton":
+          img_ref[i, :, :] = rows_t[0:f + 1, 0:pix] * 1e-9
+          return
         # zero rows beyond the assembled count: stale scratch may hold NaN
         # bit patterns, and 0 * NaN = NaN would poison every contraction
         # over the row axis (same trap as layout.py's segment-sum)
@@ -255,10 +261,21 @@ def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         a, _ = _alpha(geo, basis6, cnt, config, c_cap)
 
         l = jnp.log1p(-a)                                   # (C, PIX)
-        mask_lt = _rank_mask(rows_t, cnt, c_cap)            # (C, C)
-        lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
-                          carry_ref[...])
-        lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
+        if ablate == "no_mask":
+          lt = l * 0.9
+          lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
+                            carry_ref[...])
+        elif ablate == "no_alpha":
+          a = rows_t[0:1, :].T * jnp.ones((1, pix), dtype) * 1e-6
+          l = a * -1.0
+          lt = l * 0.9
+          lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
+                            carry_ref[...])
+        else:
+          mask_lt = _rank_mask(rows_t, cnt, c_cap)          # (C, C)
+          lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
+                            carry_ref[...])
+          lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
         t = jnp.exp(lt)
         w = jnp.where(lt > lcut, a * t, 0.0)
 
@@ -281,6 +298,21 @@ def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
             lt_end,
             jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
 
+      # empty plan slots (tile fits in fewer merged slabs) skip outright;
+      # the first slab still must run to initialise image + carries
+      @pl.when(jnp.logical_and(
+          jnp.logical_not(saturated),
+          jnp.logical_or(cell_lo < cell_hi, first)))
+      def _():
+        if ablate == "no_assemble":
+          cnt = jnp.int32(c_cap)
+        else:
+          cnt, _meta = _assemble(
+              edges_ref, strip_ref, rows_ref, i, cell_lo, cell_hi, g,
+              s_edges=s_edges, gw=gw, tw=tw, groups_x=groups_x,
+              c_cap=c_cap)
+        _compute(cnt)
+
       return 0
 
     jax.lax.fori_loop(0, s_edges, slab_body, 0)
@@ -289,10 +321,13 @@ def _fwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
   jax.lax.fori_loop(0, gw, tile_body, 0)
 
 
-def stream_forward(mapping: StreamMapping, config: RasterConfig):
+def stream_forward(mapping: StreamMapping, config: RasterConfig,
+                   ablate: str = "", with_counts: bool = False):
   """Forward rasterization over a stream mapping.
 
-  Returns image_tiled (T, F+1, PIX); channel F is the alpha image."""
+  Returns image_tiled (T, F+1, PIX); channel F is the alpha image.
+  ``ablate`` ("no_mask" / "no_alpha") and ``with_counts`` are profiling
+  instruments — see benchmarks/bench_stream.py."""
   f = mapping.feature_size
   gw = mapping.group_width
   groups_x = mapping.tiles_wide // gw
@@ -307,11 +342,14 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig):
   kernel = functools.partial(
       _fwd_kernel, config=config, f=f, gw=gw, tw=mapping.tiles_wide,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
-      s_cap=s_cap)
+      s_cap=s_cap, ablate=ablate)
 
   def strip_spec(b, which):
+    # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
+    # operands get lane-padded 3->128 in SMEM (3 MB at 6k groups)
     return pl.BlockSpec(
-        (s_cap, width), lambda g, sb, b=b, w=which: (sb[g, b] + w, 0))
+        (s_cap, width),
+        lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
@@ -319,12 +357,15 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig):
       in_specs=[
           pl.BlockSpec((1, 3, tbl), lambda g, sb: (g, 0, 0),
                        memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 1, gw * (mapping.num_slabs + 1)),
+                       lambda g, sb: (g, 0, 0), memory_space=pltpu.SMEM),
           strip_spec(0, 0), strip_spec(0, 1),
           strip_spec(1, 0), strip_spec(1, 1),
           strip_spec(2, 0), strip_spec(2, 1),
       ],
       out_specs=[
           pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+          pl.BlockSpec((8, 128), lambda g, sb: (g, 0)),
       ],
       scratch_shapes=[
           pltpu.VMEM((3, 2 * s_cap + _TIERS[-1], width), dtype),
@@ -333,19 +374,23 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig):
       ],
   )
 
-  (image_tiled,) = pl.pallas_call(
+  image_tiled, counts = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
       out_shape=[
           jax.ShapeDtypeStruct((n_groups * gw, f + 1, pix), dtype),
+          jax.ShapeDtypeStruct((n_groups * 8, 128), jnp.float32),
       ],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(mapping.strip_blk, mapping.edges,
+  )(mapping.strip_blk.reshape(-1), mapping.edges,
+    mapping.plan[:, None, :],
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table)
 
+  if with_counts:
+    return image_tiled, counts
   return image_tiled
 
 
@@ -354,7 +399,7 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
+def _bwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 img_ref, gimg_ref,
                 gout_ref,
                 strip_ref, rows_ref, carry_ref, grows_ref,
@@ -386,21 +431,18 @@ def _bwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
     def slab_body(s, _):
       first = s == 0
+      cell_lo = plan_ref[0, 0, i * (s_edges + 1) + s]
+      cell_hi = plan_ref[0, 0, i * (s_edges + 1) + s + 1]
       saturated = jnp.logical_and(
           jnp.logical_not(first), jnp.max(carry_ref[0:1, :]) <= lcut)
 
-      @pl.when(jnp.logical_not(saturated))
-      def _():
-        cnt, meta = _assemble(
-            edges_ref, strip_ref, rows_ref, i, s, g, s_edges=s_edges,
-            gw=gw, tw=tw, groups_x=groups_x, c_cap=c_cap)
+      def _compute(cnt, meta):
         rows_t = jnp.transpose(rows_ref[0:c_cap, :])
         slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
         rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
         mlx, mly, ax, ay, sx, sy, pa = geo
         a, a_raw = _alpha(geo, basis6, cnt, config, c_cap)
-        clamp_live = (a_raw < config.clamp_max_alpha).astype(dtype)
 
         l = jnp.log1p(-a)
         mask_lt = _rank_mask(rows_t, cnt, c_cap)
@@ -418,16 +460,17 @@ def _bwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
         # remaining-feature scalar: s_i = total - (prev slabs + inclusive
         # depth prefix of wgf), all in fetch layout
-        cum = _mask_mm(mask_lt, wgf, ((0,), (0,))) + wgf
+        cum = _mask_mm(mask_lt, wgf, ((0,), (0,)), passes=1) + wgf
         s_prev = jnp.where(first, jnp.zeros((1, pix), dtype),
                            carry_ref[1:2, :])
         s_i = s_total - (cum + s_prev)
-        one_minus = 1.0 - a
-        alpha_grad = (t * gf - s_i / one_minus) * live      # (C, PIX)
+        # 1/(1-a) = exp(-log1p(-a)): reuses l, cheaper than a VPU divide
+        alpha_grad = (t * gf - s_i * jnp.exp(-l)) * live    # (C, PIX)
 
         # per-point gradients, factored through pixel moments on the MXU;
         # transposed contractions keep results lane-major (k, C)
-        z0 = alpha_grad * clamp_live * a_raw
+        z0 = jnp.where(a_raw < config.clamp_max_alpha,
+                       alpha_grad * a_raw, 0.0)
         isx = 1.0 / jnp.maximum(sx, 1e-12)
         isy = 1.0 / jnp.maximum(sy, 1e-12)
         lu = jnp.concatenate(
@@ -495,7 +538,7 @@ def _bwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
               left = (b * 3 + k) * slabw
               riota = jax.lax.broadcasted_iota(jnp.int32, (tier, 1), 0)
               old = gout_ref[0, pl.ds(off, tier), :]
-              new_rows = grows_ref[pl.ds(dst, tier), :]
+              new_rows = grows_ref[pl.ds(dst, tier), :].astype(old.dtype)
               parts = [new_rows]
               if left > 0:
                 parts.insert(0, jnp.zeros((tier, left), new_rows.dtype))
@@ -515,6 +558,15 @@ def _bwd_kernel(sb_ref, edges_ref, s0a, s0b, s1a, s1b, s2a, s2b,
             lt_end,
             jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
         carry_ref[1:2, :] = s_prev + jnp.sum(wgf, 0, keepdims=True)
+
+      @pl.when(jnp.logical_and(
+          jnp.logical_not(saturated),
+          jnp.logical_or(cell_lo < cell_hi, first)))
+      def _():
+        cnt, meta = _assemble(
+            edges_ref, strip_ref, rows_ref, i, cell_lo, cell_hi, g,
+            s_edges=s_edges, gw=gw, tw=tw, groups_x=groups_x, c_cap=c_cap)
+        _compute(cnt, meta)
 
       return 0
 
@@ -553,8 +605,11 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       s_cap=s_cap, run_cap=run_cap, slabw=slabw)
 
   def strip_spec(b, which):
+    # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
+    # operands get lane-padded 3->128 in SMEM (3 MB at 6k groups)
     return pl.BlockSpec(
-        (s_cap, width), lambda g, sb, b=b, w=which: (sb[g, b] + w, 0))
+        (s_cap, width),
+        lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
@@ -562,6 +617,8 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       in_specs=[
           pl.BlockSpec((1, 3, tbl), lambda g, sb: (g, 0, 0),
                        memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 1, gw * (mapping.num_slabs + 1)),
+                       lambda g, sb: (g, 0, 0), memory_space=pltpu.SMEM),
           strip_spec(0, 0), strip_spec(0, 1),
           strip_spec(1, 0), strip_spec(1, 1),
           strip_spec(2, 0), strip_spec(2, 1),
@@ -580,18 +637,23 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       ],
   )
 
+  # NB: slab storage stays f32 — bf16's (16,128) tiling rejects the
+  # copy-back's unaligned dynamic sublane offsets, and the columnar
+  # reduce already keeps HBM temps dense.
+  out_dtype = dtype
   (gout,) = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
       out_shape=[
           jax.ShapeDtypeStruct(
               (n_groups, (gw + 2) * run_cap + _TIERS[-1], 9 * slabw),
-              dtype),
+              out_dtype),
       ],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(mapping.strip_blk, mapping.edges,
+  )(mapping.strip_blk.reshape(-1), mapping.edges,
+    mapping.plan[:, None, :],
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table,
     image_tiled, g_image_tiled)
