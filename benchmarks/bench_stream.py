@@ -45,7 +45,8 @@ def main():
 
   map_f = lambda p_, d_, f_: stream_map(
       p_, d_, f_, image_size, config, num_slabs=cal["num_slabs"],
-      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"], group_width=gw)
+      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"], group_width=gw,
+      w_max=cal["w_max"], run_cap=cal["run_cap"])
   m = jax.jit(map_f)(packed, depth, feats)
   print("# overflow:", int(m.num_overflow), "groups:", m.num_groups,
         "slabs:", m.num_slabs, "table:", m.table.shape)
@@ -122,7 +123,8 @@ def profile_fwd():
   m = jax.jit(lambda p_, d_, f_: stream_map(
       p_, d_, f_, image_size, config, num_slabs=cal["num_slabs"],
       strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
-      group_width=gw))(packed, depth, feats)
+      group_width=gw, w_max=cal["w_max"],
+      run_cap=cal["run_cap"]))(packed, depth, feats)
   from tpu_splatting.rasterizer.stream_kernels import stream_forward
   _, counts = jax.jit(lambda mm: stream_forward(
       mm, config, with_counts=True))(m)

@@ -44,11 +44,11 @@ def run_both(seed, n=80, image_size=(32, 24), group_width=2):
   mm = stream_map(packed, depths, feats, image_size, config,
                   num_slabs=max(cal["num_slabs"], 2),
                   strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
-                  group_width=group_width)
+                  group_width=group_width, w_max=cal["w_max"],
+                  run_cap=cal["run_cap"])
   assert int(mm.num_overflow) == 0
-  run_cap = cal["max_strip_rows"]  # generous
   img_t, alpha_t = stream_rasterize_with_mapping(
-      packed, feats, mm, image_size, config, run_cap=run_cap)
+      packed, feats, mm, image_size, config)
   return (np.asarray(img_s.image), np.asarray(img_s.image_weight),
           np.asarray(img_t), np.asarray(alpha_t))
 
@@ -81,12 +81,12 @@ def test_stream_gradients_match_sorted(seed):
   mm = stream_map(packed, depths, feats, image_size, config,
                   num_slabs=max(cal["num_slabs"], 2),
                   strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
-                  group_width=2)
+                  group_width=2, w_max=cal["w_max"], run_cap=cal["run_cap"])
   assert int(mm.num_overflow) == 0
 
   def loss_stream(p, f):
     img, w = stream_rasterize_with_mapping(
-        p, f, mm, image_size, config, run_cap=cal["max_strip_rows"])
+        p, f, mm, image_size, config)
     return jnp.sum((img - tgt) ** 2) + jnp.sum(w ** 2)
 
   ls, (gp_s, gf_s) = jax.value_and_grad(loss_sorted, argnums=(0, 1))(

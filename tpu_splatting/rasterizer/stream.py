@@ -19,7 +19,7 @@ the overlap-domain work entirely, based on three measured v5e facts:
 Design:
 
 1. **One N-sized sort** orders points by
-   ``home_tile(14b) | x-reach-class(2b) | depth16(16b)`` (u32 key), full
+   ``home_tile(14b) | y-class(2b) | x-class(2b) | depth14`` (u32 key), full
    rows riding as payload.  The x-reach class {C, CR, LCR, LC} encodes
    which horizontal neighbours a gaussian's AABB reaches, ordered so that
    every (tile, neighbour-home) fetch is one CONTIGUOUS window (classes
@@ -78,21 +78,19 @@ class StreamMapping:
 
   table: (N_pad, 7+F+2) f32 — home-sorted rows [gaussian(7), features(F),
     key(bitcast u32: home<<18|xcls<<16|depth16), pid(bitcast i32)].
-  edges: (GROUPS, 3, (GW+2)*4*S + 1) i32 — per group, per band (dy-1..+1),
-    the class/slab row edges for homes x0-1..x0+GW, LOCAL to the strip's
-    first fetched block (so in-kernel offsets index the 2-block scratch
-    directly).
+  desc: (GROUPS, 1, GW*S*W_MAX*4) i32 — compacted fetch-window
+    descriptors per (tile-in-group, merged slab): [lo_flat, len,
+    gbuf_dst, class(b*3+k)] x W_MAX, nonempty first.  lo_flat indexes the
+    kernel's flattened 3-band strip scratch; gbuf_dst is the backward's
+    RUN_CAP-strided slab-buffer row.
   strip_blk: (GROUPS, 3) i32 — S_CAP-block index of each band strip.
   run_starts: (T+1,) i32 — global first-row index of each home's run.
-  plan: (GROUPS, GW*(CELLS+1)) i32 — per tile, the first depth CELL of
-    each merged slab (greedy <= slab_cap packing), padded with CELLS.
-  num_overflow: () i32 — rows dropped by strip/slab capacity clamps.
+  num_overflow: () i32 — rows dropped by capacity clamps.
   """
   table: jnp.ndarray
-  edges: jnp.ndarray
+  desc: jnp.ndarray
   strip_blk: jnp.ndarray
   run_starts: jnp.ndarray
-  plan: jnp.ndarray
   num_overflow: jnp.ndarray
 
   # static metadata
@@ -105,60 +103,47 @@ class StreamMapping:
   num_slabs: int
   strip_cap: int
   slab_cap: int
+  w_max: int
+  run_cap: int
 
   @property
   def num_groups(self) -> int:
-    return self.edges.shape[0]
+    return self.desc.shape[0]
 
 
 jax.tree_util.register_dataclass(
     StreamMapping,
-    data_fields=["table", "edges", "strip_blk", "run_starts", "plan",
+    data_fields=["table", "desc", "strip_blk", "run_starts",
                  "num_overflow"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
                  "feature_size", "group_width", "num_slabs", "strip_cap",
-                 "slab_cap"])
+                 "slab_cap", "w_max", "run_cap"])
 
 
 def _depth16(d):
   return jnp.clip(d * 65535.0, 0.0, 65535.0).astype(jnp.uint32)
 
 
-# Per tile x, the fetched (home, class-range) pairs: home x-1 contributes
-# its R-reaching classes [1,3), home x everything [0,4), home x+1 its
-# L-reaching classes [2,4).  k = home index relative to x-1.
-FETCH_WINDOWS = ((0, 1, 3), (1, 0, 4), (2, 2, 4))
+# Reach classes (both axes): [C=0, C+pos=1, C+both=2, C+neg=3], so the
+# "+pos"-containing classes are [1,3), "+neg"-containing [2,4), all [0,4).
+# For homes: k (x index rel. x-1) / b (band index rel. y-1): the home one
+# LEFT/UP of the tile must reach +x/+y; one RIGHT/DOWN must reach -x/-y.
+CLASS_RANGES = ((1, 3), (0, 4), (2, 4))
 
-
-def _tile_slab_counts(local, gx, gw: int, tbl_homes: int, s_edges: int,
-                      tw: int):
-  """Fetched-row counts per (group, tile-in-group, slab) from the flat
-  local edge table (G, 3, H*4*S + 1).  gx: (G,) first tile x per group."""
-  e = local[:, :, :-1]
-  end = local[:, :, 1:]
-  n_groups = local.shape[0]
-  cnt = jnp.zeros((n_groups, gw, s_edges), jnp.int32)
-  i = jnp.arange(gw)
-  for k, clo, chi in FETCH_WINDOWS:
-    hx = gx[:, None] + i[None, :] - 1 + k                    # (G, gw)
-    hvalid = ((hx >= 0) & (hx < tw))[:, None, :, None]       # (G,1,gw,1)
-    for c in range(clo, chi):
-      idx = ((i + k) * 4 + c)[:, None] * s_edges + jnp.arange(s_edges)
-      width = jnp.maximum(end[:, :, idx] - e[:, :, idx], 0)  # (G,3,gw,S)
-      cnt = cnt + jnp.where(hvalid, width, 0).sum(1)
-  return cnt
+# strip scratch slack (the kernels' largest tiered copy)
+STRIP_SLACK = 512
 
 
 @functools.partial(
     jax.jit, static_argnames=("image_size", "config", "num_slabs",
                               "strip_cap", "slab_cap", "group_width",
-                              "build_table"))
+                              "w_max", "run_cap", "build_table"))
 def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
                features: jnp.ndarray, image_size: Tuple[int, int],
                config: RasterConfig, num_slabs: int = 1,
                strip_cap: int = 4096, slab_cap: int = 512,
-               group_width: int = 8, build_table: bool = True
-               ) -> StreamMapping:
+               group_width: int = 8, w_max: int = 64, run_cap: int = 256,
+               build_table: bool = True) -> StreamMapping:
   """Build the stream mapping: ONE N-sized sort + window tables.
 
   depth: (N,) NDC depth in [0, 1]; <= 0 marks culled points.
@@ -194,16 +179,24 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   ok = valid & reach_ok
   num_far = (valid & ~reach_ok).sum(dtype=jnp.int32)
 
-  # x-reach class: bit0 = reaches x+1 (R), bit1 = reaches x-1 (L); order
-  # [C, CR, LCR, LC] makes R-containing [1,3) and L-containing [2,4)
-  reach_l = lo_t[:, 0] < home[:, 0]
-  reach_r = hi_t[:, 0] > home[:, 0]
-  xcls = jnp.where(reach_l & reach_r, 2,
-                   jnp.where(reach_l, 3, jnp.where(reach_r, 1, 0)))
+  # per-axis reach classes (CLASS_RANGES order): the y class filters the
+  # neighbour-band fetch the same way the x class filters homes — without
+  # it every tile fetches whole unfiltered neighbour bands (measured 2.4x
+  # pair inflation on small-splat scenes).  Costs 2 depth bits (d14).
+  def reach_cls(axis_i):
+    neg = lo_t[:, axis_i] < home[:, axis_i]
+    pos = hi_t[:, axis_i] > home[:, axis_i]
+    return jnp.where(neg & pos, 2, jnp.where(neg, 3,
+                                             jnp.where(pos, 1, 0)))
+
+  xcls = reach_cls(0)
+  ycls = reach_cls(1)
   home_id = home[:, 1] * tw + home[:, 0]
 
   key = ((home_id.astype(jnp.uint32) << 18)
-         | (xcls.astype(jnp.uint32) << 16) | _depth16(depth))
+         | (ycls.astype(jnp.uint32) << 16)
+         | (xcls.astype(jnp.uint32) << 14)
+         | (_depth16(depth) >> 2))
   key = jnp.where(ok, key, jnp.uint32(0xFFFFFFFF))
 
   pid = jnp.arange(n, dtype=jnp.int32)
@@ -227,31 +220,26 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
     skey = jax.lax.sort(key)
     table = jnp.zeros((1, width), gaussians.dtype)
 
-  # ---- class/slab edge table -------------------------------------------
-  # global depth16 slab thresholds: equal quantiles of the valid depth16
-  # distribution (exact per-tile balance is not required — slab_cap clamps
-  # and overflow is counted)
+  # ---- class/cell edge table --------------------------------------------
+  # d14 depth-quantile cell thresholds: equal quantiles of the valid
+  # depth distribution (per-tile balance comes from the greedy slab plan)
   s_edges = num_slabs
-  if s_edges > 1:
-    dq = jnp.sort(_depth16(depth).astype(jnp.uint32))
-    qpos = (jnp.arange(1, s_edges, dtype=jnp.int32) * n) // s_edges
-    thr = dq[qpos].astype(jnp.uint32) + 1          # exclusive upper bounds
-  else:
-    thr = jnp.zeros((0,), jnp.uint32)
+  dq = jnp.sort(_depth16(depth).astype(jnp.uint32) >> 2)
+  qpos = (jnp.arange(1, s_edges, dtype=jnp.int32) * n) // s_edges
+  thr = dq[qpos].astype(jnp.uint32) + 1 if s_edges > 1 else jnp.zeros(
+      (0,), jnp.uint32)
 
-  # query keys: for every (home, cls, slab boundary) the first row >= it.
-  # The flat edge array has the property that window (h, c, s) is the
-  # CONSECUTIVE pair [flat[(h*4+c)*S + s], flat[(h*4+c)*S + s + 1]) — the
-  # end of a class's last slab is the next class's first edge.
-  hc = jnp.arange(num_tiles * 4, dtype=jnp.uint32)
-  base = (hc[:, None] << 16)                        # (4T, 1)
+  # one searchsorted over all (home, ycls, xcls, cell) edges; window
+  # (h, yc, xc, cell) is the CONSECUTIVE flat pair (monotone by key order)
+  hc = jnp.arange(num_tiles * 16, dtype=jnp.uint32)
+  base = (hc[:, None] << 14)                        # (16T, 1)
   bounds = jnp.concatenate([jnp.zeros((1,), jnp.uint32), thr])
-  q = (base | bounds[None, :]).reshape(-1)          # (4T*S,)
+  q = (base | bounds[None, :]).reshape(-1)          # (16T*S,)
   q = jnp.concatenate(
-      [q, jnp.asarray([jnp.uint32(num_tiles * 4) << 16], jnp.uint32)])
+      [q, jnp.asarray([jnp.uint32(num_tiles * 16) << 14], jnp.uint32)])
   edges_all = jnp.searchsorted(skey, q, side="left").astype(jnp.int32)
 
-  # ---- per-group strip blocks + local edge tables ----------------------
+  # ---- per-group strip blocks + local edges -----------------------------
   gw = group_width
   groups_x = tw // gw
   n_groups = th * groups_x
@@ -259,85 +247,145 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   gx = (jnp.arange(n_groups, dtype=jnp.int32) % groups_x) * gw
 
   tbl_homes = gw + 2
-  dy = jnp.arange(3, dtype=jnp.int32)[None, :] - 1          # (1, 3)
-  band = gy[:, None] + dy                                   # (G, 3)
+  dyn = jnp.arange(3, dtype=jnp.int32)[None, :] - 1         # (1, 3)
+  band = gy[:, None] + dyn                                  # (G, 3)
   band_ok = (band >= 0) & (band < th)
-  h0 = band * tw + jnp.maximum(gx[:, None] - 1, 0)          # first home
-  # strip start row = edge of (h0, cls 0, slab 0)
-  e_idx0 = jnp.where(band_ok, h0 * (4 * s_edges), 0)
+  h0 = band * tw + jnp.maximum(gx[:, None] - 1, 0)
+  e_idx0 = jnp.where(band_ok, h0 * (16 * s_edges), 0)
   start_row = edges_all[e_idx0]
   strip_blk = jnp.where(band_ok, start_row // strip_cap, 0)
 
-  # local edges: all (home in x0-1..x0+gw, cls, slab) edges + final end.
-  # Out-of-range homes clamp to [0, tw]: tw maps to the next band's start
-  # edge (= end of this band's last home) so the flat edge sequence stays
-  # MONOTONE; their windows are masked out by home validity (see
-  # _tile_slab_counts / the kernels) — clamping to tw-1 would both
-  # double-fetch edge homes and break monotonicity.
+  # local edges per band: homes x0-1..x0+gw (out-of-range homes clamp to
+  # [0, tw]; tw = next band's start keeps the flat sequence monotone)
+  per_home = 16 * s_edges
   hh = (gx[:, None, None] - 1
         + jnp.arange(tbl_homes + 1, dtype=jnp.int32)[None, None, :])
   hid = band[:, :, None] * tw + jnp.clip(hh, 0, tw)          # (G, 3, H+1)
-  eidx = (hid[:, :, :tbl_homes] * 4)[..., None] * s_edges + jnp.arange(
-      4 * s_edges, dtype=jnp.int32)[None, None, None, :]
-  eidx = eidx.reshape(n_groups, 3, tbl_homes * 4 * s_edges)
-  eidx = jnp.concatenate(
-      [eidx, hid[:, :, -1:] * (4 * s_edges)], -1)
+  eidx = (hid[:, :, :tbl_homes] * per_home)[..., None] + jnp.arange(
+      per_home, dtype=jnp.int32)[None, None, None, :]
+  eidx = eidx.reshape(n_groups, 3, tbl_homes * per_home)
+  eidx = jnp.concatenate([eidx, hid[:, :, -1:] * per_home], -1)
   evals = edges_all[jnp.clip(eidx, 0, edges_all.shape[0] - 1)]
   local = evals - (strip_blk * strip_cap)[:, :, None]
-  # out-of-image bands: empty windows (start=end=0)
   local = jnp.where(band_ok[:, :, None], local, 0)
-  # clamp to the 2-block scratch so in-kernel reads stay in bounds; the
-  # clamped rows are the counted strip overflow
-  local_cl = jnp.clip(local, 0, 2 * strip_cap)
+  local = jnp.clip(local, 0, 2 * strip_cap)
 
   strip_over = jnp.maximum(
       (evals[:, :, -1] - evals[:, :, 0]) - 2 * strip_cap, 0)
-  # per-(tile, cell) fetched-row counts; the fetch set per (tile x0+i,
-  # band) is the (home, class) pairs of FETCH_WINDOWS
-  counts = _tile_slab_counts(local, gx, gw, tbl_homes, s_edges,
-                             tw)   # (G, gw, CELLS)
 
-  # --- per-tile slab PLAN: greedy packing of adjacent depth cells ---------
-  # Global quantile cells are FINE-grained; each tile merges consecutive
-  # cells into <= slab_cap-row slabs (plan[j] = first cell of slab j).
-  # Without this, shallow tiles pay full slab_cap compute per global slab
-  # (~2x padding waste at uniform scenes).  Cells wider than slab_cap on
-  # their own are clamped in-kernel and counted as overflow here.
+  # ---- fetch-window enumeration (static 64 combos) ----------------------
+  # window w = (band b, home k, ycls yc, xcls xc) with yc in
+  # CLASS_RANGES[b] and xc in CLASS_RANGES[k]
+  wlist = []
+  for b in range(3):
+    ylo, yhi = CLASS_RANGES[b]
+    for k in range(3):
+      xlo, xhi = CLASS_RANGES[k]
+      for yc in range(ylo, yhi):
+        for xc in range(xlo, xhi):
+          wlist.append((b, k, yc, xc))
+  n_w = len(wlist)                                   # 64
+
+  i_t = jnp.arange(gw, dtype=jnp.int32)              # tile-in-group
+  # per-window flat edge bases: (gw, n_w)
+  scratch_stride = 2 * strip_cap + STRIP_SLACK
+
+  cell_edges = []                                    # each (G, gw, S+1)
+  dsts0 = []
+  bks = []
+  hvalids = []
+  for (b, k, yc, xc) in wlist:
+    idx0 = ((i_t + k) * 16 + yc * 4 + xc) * s_edges  # (gw,)
+    sel = idx0[None, :, None] + jnp.arange(
+        s_edges + 1, dtype=jnp.int32)[None, None, :]
+    ce = jnp.take_along_axis(
+        local[:, b, :][:, None, :].repeat(gw, 1), sel, axis=2)
+    cell_edges.append(ce)                            # (G, gw, S+1)
+    run0 = jnp.take_along_axis(
+        local[:, b, :], ((i_t + k) * per_home)[None, :], axis=1)
+    dsts0.append((i_t + k)[None, :] * run_cap - run0)  # (G, gw) bias
+    bks.append(b * 3 + k)
+    hx = gx[:, None] + i_t[None, :] - 1 + k
+    hvalids.append((hx >= 0) & (hx < tw))
+
+  # counts per (tile, cell) for the greedy plan
+  counts = jnp.zeros((n_groups, gw, s_edges), jnp.int32)
+  for w in range(n_w):
+    ce = cell_edges[w]
+    counts = counts + jnp.where(
+        hvalids[w][:, :, None], ce[:, :, 1:] - ce[:, :, :-1], 0)
+
+  # --- per-tile slab PLAN: greedy packing of adjacent depth cells --------
   def greedy(cnt_cells):
-    # cnt_cells: (CELLS,) -> plan (CELLS+1,): cell boundaries per slab,
-    # padded with CELLS.  Sequential over static CELLS.
-    plan = [jnp.int32(0)]
     acc = cnt_cells[0]
     cuts = []
     for cell in range(1, s_edges):
       cut = acc + cnt_cells[cell] > slab_cap
       cuts.append(cut)
       acc = jnp.where(cut, cnt_cells[cell], acc + cnt_cells[cell])
-    # slab boundaries: positions where a cut happened, in order
-    bounds = [jnp.int32(0)]
+    bounds_l = [jnp.int32(0)]
     for cell in range(1, s_edges):
-      bounds.append(jnp.where(cuts[cell - 1], cell, 0))
-    b = jnp.stack(bounds)                       # 0 or cell index
-    # compact the nonzero cut positions to the front, pad with CELLS
-    order = jnp.argsort(jnp.where(b > 0, b, jnp.int32(10 ** 6)))
-    compacted = jnp.where(b[order] > 0, b[order], s_edges)
+      bounds_l.append(jnp.where(cuts[cell - 1], cell, 0))
+    bvec = jnp.stack(bounds_l)
+    order = jnp.argsort(jnp.where(bvec > 0, bvec, jnp.int32(10 ** 6)))
+    compacted = jnp.where(bvec[order] > 0, bvec[order], s_edges)
     return jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), compacted[:s_edges - 1],
          jnp.full((1,), s_edges, jnp.int32)])
 
-  flat_counts = counts.reshape(-1, s_edges)
-  plan = jax.vmap(greedy)(flat_counts)          # (G*gw, CELLS+1)
-  plan = plan.reshape(n_groups, gw * (s_edges + 1))
-  slab_over = jnp.maximum(counts - slab_cap, 0).sum(dtype=jnp.int32)
+  plan = jax.vmap(greedy)(counts.reshape(-1, s_edges))
+  plan = plan.reshape(n_groups, gw, s_edges + 1)     # (G, gw, S+1)
 
-  num_overflow = (num_far + strip_over.sum(dtype=jnp.int32) + slab_over)
+  # ---- window descriptors per (tile, slab): [lo_flat, len, dst, bk] -----
+  lo_all = jnp.stack([ce for ce in cell_edges], 2)   # (G, gw, n_w, S+1)
+  p_lo = plan[:, :, None, :s_edges]                  # (G, gw, 1, S)
+  p_hi = plan[:, :, None, 1:]
+  w_lo = jnp.take_along_axis(lo_all, p_lo, axis=3)   # (G, gw, n_w, S)
+  w_hi = jnp.take_along_axis(lo_all, p_hi, axis=3)
+  w_len = jnp.maximum(w_hi - w_lo, 0)
+  hv = jnp.stack(hvalids, 2)[:, :, :, None]          # (G, gw, n_w, 1)
+  w_len = jnp.where(hv, w_len, 0)
+
+  # backward slab-buffer destination + run_cap clamp (overflow-counted)
+  dst_bias = jnp.stack(dsts0, 2)[:, :, :, None]      # (G, gw, n_w, 1)
+  w_dst = w_lo + dst_bias
+  run_hi = (jnp.asarray([k for (_, k, _, _) in wlist], jnp.int32)[
+      None, None, :, None] + i_t[None, :, None, None] + 1) * run_cap
+  len_run = jnp.clip(run_hi - w_dst, 0, None)
+  run_over = jnp.maximum(w_len - len_run, 0).sum(dtype=jnp.int32)
+  w_len = jnp.minimum(w_len, len_run)
+
+  # flatten band into the lo so the kernel needs no band index
+  b_of = jnp.asarray([b for (b, _, _, _) in wlist], jnp.int32)
+  w_lof = w_lo + (b_of * scratch_stride)[None, None, :, None]
+  bk_of = jnp.broadcast_to(
+      jnp.asarray(bks, jnp.int32)[None, None, :, None], w_len.shape)
+
+  # compact nonempty windows first; drop (and count) beyond w_max
+  move = jnp.moveaxis  # (G, gw, n_w, S) -> (G, gw, S, n_w)
+  w_lof = move(w_lof, 3, 2)
+  w_len_m = move(w_len, 3, 2)
+  w_dst = move(w_dst, 3, 2)
+  bk_of = move(bk_of, 3, 2)
+  order = jnp.argsort(w_len_m == 0, axis=3, stable=True)
+  take = lambda a: jnp.take_along_axis(a, order, axis=3)[..., :w_max]
+  d_lo, d_len, d_dst, d_bk = (take(w_lof), take(w_len_m), take(w_dst),
+                              take(bk_of))
+  win_over = jnp.take_along_axis(w_len_m, order, axis=3)[..., w_max:].sum(
+      dtype=jnp.int32)
+
+  desc = jnp.stack([d_lo, d_len, d_dst, d_bk], -1)   # (G, gw, S, W, 4)
+  desc = desc.reshape(n_groups, 1, gw * s_edges * w_max * 4)
+
+  slab_over = jnp.maximum(counts - slab_cap, 0).sum(dtype=jnp.int32)
+  num_overflow = (num_far + strip_over.sum(dtype=jnp.int32) + slab_over
+                  + run_over + win_over)
 
   return StreamMapping(
       table=table,
-      edges=local_cl,
+      desc=desc,
       strip_blk=strip_blk.astype(jnp.int32),
-      run_starts=edges_all[0::4 * s_edges],
-      plan=plan,
+      run_starts=edges_all[0::16 * s_edges],
       num_overflow=num_overflow,
       num_points=n,
       num_tiles=num_tiles,
@@ -348,33 +396,58 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
       num_slabs=s_edges,
       strip_cap=strip_cap,
       slab_cap=slab_cap,
+      w_max=w_max,
+      run_cap=run_cap,
   )
 
 
 def calibrate_stream(gaussians, depth, features, image_size,
                      config: RasterConfig, group_width: int = 8,
                      slab_cap: int = 512) -> dict:
-  """Measure fetch-window statistics and suggest static stream capacities.
+  """Measure fetch statistics and suggest static stream capacities.
 
-  Returns {num_slabs, strip_cap, slab_cap} such that a stream_map built
-  with them reports num_overflow == 0 on this scene (with headroom)."""
+  Returns {num_slabs (cells), strip_cap, slab_cap, w_max, run_cap} such
+  that a stream_map built with them reports num_overflow == 0 on this
+  scene (with headroom)."""
+  cells = 4
   m = stream_map(gaussians, depth, features, image_size, config,
-                 num_slabs=1, strip_cap=1 << 28, slab_cap=1 << 28,
-                 group_width=group_width, build_table=False)
+                 num_slabs=cells, strip_cap=1 << 27, slab_cap=1 << 27,
+                 group_width=group_width, w_max=64, run_cap=1 << 27,
+                 build_table=False)
   gw = group_width
-  e = m.edges
-  strip_len = int(jax.device_get((e[:, :, -1] - e[:, :, 0]).max()))
-  gx_cal = (jnp.arange(m.num_groups, dtype=jnp.int32)
-            % (m.tiles_wide // gw)) * gw
-  counts = _tile_slab_counts(e, gx_cal, gw, gw + 2, 1, m.tiles_wide)
-  max_rows = int(jax.device_get(counts.max()))
-  # max single home-run length (for run_cap sizing): the flat edge table's
-  # consecutive 4*S-stride entries bound each home's run
-  eh = e[:, :, 0:(gw + 2) * 4 + 1:4]
-  max_run = int(jax.device_get((eh[:, :, 1:] - eh[:, :, :-1]).max()))
-  # fine-grained depth cells: the per-tile greedy plan merges adjacent
-  # cells into <= slab_cap slabs, so finer cells pack shallow tiles into
-  # fewer, fuller slabs (2x finer than the worst tile needs, capped)
+  tw, th = m.tiles_wide, m.tiles_high
+
+  desc = jax.device_get(m.desc).reshape(m.num_groups, gw, cells, 64, 4)
+  lens = desc[..., 1]
+  import numpy as np
+  tile_rows = lens.sum((2, 3))
+  max_rows = int(tile_rows.max())
+  w_nonempty = (lens > 0).sum(3).sum(2)          # windows per tile (all
+  # cells; a merged slab can hold at most all of them)
+  w_max = int((lens > 0).sum(3).max())
+
+  runs = np.asarray(jax.device_get(
+      m.run_starts[1:] - m.run_starts[:-1]))
+  max_run = int(runs.max())
+  # strips: homes gx-1..gx+gw per band
+  csum = np.concatenate([[0], np.cumsum(runs)])
+  t_ids = np.arange(m.num_tiles)
+  bx = t_ids % tw
+  lo_h = np.maximum(t_ids - 1, (t_ids // tw) * tw)
+  hi_h = np.minimum(t_ids + gw + 1, (t_ids // tw) * tw + tw)
+  # per group start tile: bands shift by +-tw; bound by the max over all
+  starts = np.arange(0, m.num_tiles, 1)
+  strip_len = 0
+  for g in range(m.num_groups):
+    gy, gxb = divmod(g, tw // gw)
+    x0 = gxb * gw
+    for b in range(3):
+      band = gy + b - 1
+      if 0 <= band < th:
+        a = band * tw + max(x0 - 1, 0)
+        z = band * tw + min(x0 + gw + 1, tw)
+        strip_len = max(strip_len, int(csum[z] - csum[a]))
+
   num_slabs = min(12, max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
   strip_cap = 1024
   while strip_cap < strip_len * 1.1:
@@ -383,6 +456,6 @@ def calibrate_stream(gaussians, depth, features, image_size,
   while run_cap < max_run:
     run_cap *= 2
   return {"num_slabs": num_slabs, "strip_cap": strip_cap,
-          "slab_cap": slab_cap, "max_tile_rows": max_rows,
-          "max_strip_rows": strip_len, "max_run": max_run,
-          "run_cap": run_cap}
+          "slab_cap": slab_cap, "w_max": min(64, w_max + 2),
+          "run_cap": run_cap, "max_tile_rows": max_rows,
+          "max_strip_rows": strip_len, "max_run": max_run}

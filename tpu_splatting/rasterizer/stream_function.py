@@ -155,7 +155,7 @@ def _stream_function(config: RasterConfig, run_cap: int):
 def stream_rasterize_with_mapping(
     gaussians2d: jnp.ndarray, features: jnp.ndarray,
     mapping: StreamMapping, image_size: Tuple[int, int],
-    config: RasterConfig, run_cap: int):
+    config: RasterConfig, run_cap: int = 0):
   """Rasterize with a precomputed stream mapping.  Returns
   (image (H, W, F), image_weight (H, W)).
 
@@ -165,7 +165,7 @@ def stream_rasterize_with_mapping(
   assert config.use_alpha_blending and not config.antialias, (
       "stream pipeline v1 supports plain alpha blending only")
   f = features.shape[1]
-  raster = _stream_function(config, run_cap)
+  raster = _stream_function(config, run_cap or mapping.run_cap)
   image_tiled = raster(gaussians2d, features, mapping)
   full = detile(image_tiled, mapping.tiles_wide, mapping.tiles_high,
                 config.tile_size, image_size)

@@ -47,10 +47,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..data_types import RasterConfig
-from .stream import FETCH_WINDOWS, StreamMapping
+from .stream import STRIP_SLACK, StreamMapping
 
 _NEG_BIG = -3.0e38
-_TIERS = (64, 512)        # window-copy sizes; last >= slab_cap
+_TIERS = (64, 512)        # window-copy sizes; last == STRIP_SLACK
 
 
 def use_interpret() -> bool:
@@ -128,48 +128,43 @@ def _pixel_rows(pix: int, tile_size: int, dtype):
   return pxl, pyl, basis3, basis6
 
 
-def _assemble(edges_ref, strip_ref, rows_ref, i, cell_lo, cell_hi, g, *,
-              s_edges: int, gw: int, tw: int, groups_x: int, c_cap: int):
-  """Copy the fetch windows of tile i, depth cells [cell_lo, cell_hi)
-  into rows_ref in fetch order.  Returns (row count, per-window metadata
-  for the backward's copy-back: (band, k, dst_cursor, src_lo, len)).
+def _assemble(desc_ref, strip_ref, rows_ref, i, s, *, s_edges: int,
+              w_max: int, c_cap: int):
+  """Copy the fetch windows of (tile i, merged slab s) into rows_ref in
+  fetch order, driven by the mapper's compacted window descriptors
+  [lo_flat, len, gbuf_dst, class].  Returns (row count, per-window
+  metadata (dst_cursor, gbuf_dst, class, len) for the backward).
 
   Tiered static-size copies; each window's overrun tail is overwritten by
   the next window (rows_ref has _TIERS[-1] slack rows)."""
-  gx = (g % groups_x) * gw
   cursor = jnp.int32(0)
   meta = []
-  for b in range(3):
-    for k, clo, chi in FETCH_WINDOWS:
-      hx = gx + i - 1 + k
-      hvalid = (hx >= 0) & (hx < tw)
-      for c in range(clo, chi):
-        idx = ((i + k) * 4 + c) * s_edges
-        lo = edges_ref[0, b, idx + cell_lo]
-        hi = edges_ref[0, b, idx + cell_hi]
-        ln = jnp.where(hvalid, jnp.maximum(hi - lo, 0), 0)
-        ln = jnp.minimum(ln, c_cap - cursor)
-        for t_i, tier in enumerate(_TIERS):
-          lower = _TIERS[t_i - 1] if t_i else 0
+  base = (i * s_edges + s) * (w_max * 4)
+  for w in range(w_max):
+    lo = desc_ref[0, 0, base + 4 * w]
+    ln = desc_ref[0, 0, base + 4 * w + 1]
+    ln = jnp.minimum(ln, c_cap - cursor)
+    for t_i, tier in enumerate(_TIERS):
+      lower = _TIERS[t_i - 1] if t_i else 0
 
-          @pl.when((ln > lower) & (ln <= tier))
-          def _(lo=lo, tier=tier, cur=cursor, b=b):
-            rows_ref[pl.ds(cur, tier), :] = strip_ref[
-                b, pl.ds(lo, tier), :]
-        meta.append((b, k, cursor, lo, ln))
-        cursor = cursor + ln
+      @pl.when((ln > lower) & (ln <= tier))
+      def _(lo=lo, tier=tier, cur=cursor):
+        rows_ref[pl.ds(cur, tier), :] = strip_ref[pl.ds(lo, tier), :]
+    meta.append((cursor, desc_ref[0, 0, base + 4 * w + 2],
+                 desc_ref[0, 0, base + 4 * w + 3], ln))
+    cursor = cursor + ln
   return cursor, meta
 
 
 def _rank_mask(rows_t, cnt, c_cap: int):
   """(C, C) bf16 mask M[i,j] = depth-rank_i < depth-rank_j, fetch order.
 
-  Rank key = depth16 << 14 | slot (distinct; ties broken by fetch slot);
+  Rank key = depth14 << 11 | slot (distinct; ties broken by fetch slot);
   rows at/after cnt rank last (their alpha is masked to 0 anyway)."""
   key_u = jax.lax.bitcast_convert_type(rows_t[-2:-1, :], jnp.int32)
-  d16 = key_u & 0xFFFF
+  d14 = key_u & 0x3FFF
   slot = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
-  rk = jnp.where(slot < cnt, (d16 << 14) | slot, jnp.int32(2 ** 31 - 1))
+  rk = jnp.where(slot < cnt, (d14 << 11) | slot, jnp.int32(2 ** 31 - 1))
   rk_col = jnp.transpose(rk)                     # (C, 1)
   return (rk_col < rk).astype(jnp.bfloat16)      # [i, j] = rank_i < rank_j
 
@@ -216,20 +211,21 @@ def _alpha(geo, basis6, cnt, config, c_cap: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
+def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 img_ref, cnt_ref, strip_ref, rows_ref, carry_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
-                ablate: str = ""):
+                w_max: int, ablate: str = ""):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
   lcut = _log_cut(config)
   ts = config.tile_size
 
+  stride = 2 * s_cap + STRIP_SLACK
   for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
-    strip_ref[b, 0:s_cap, :] = blk_a[...]
-    strip_ref[b, s_cap:2 * s_cap, :] = blk_b[...]
+    strip_ref[b * stride:b * stride + s_cap, :] = blk_a[...]
+    strip_ref[b * stride + s_cap:b * stride + 2 * s_cap, :] = blk_b[...]
 
   cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
@@ -241,8 +237,8 @@ def _fwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
     def slab_body(s, _):
       first = s == 0
-      cell_lo = plan_ref[0, 0, i * (s_edges + 1) + s]
-      cell_hi = plan_ref[0, 0, i * (s_edges + 1) + s + 1]
+      # compaction puts nonempty windows first: slab empty iff window 0 is
+      slab_used = desc_ref[0, 0, (i * s_edges + s) * (w_max * 4) + 1] > 0
       saturated = jnp.logical_and(
           jnp.logical_not(first), jnp.max(carry_ref[...]) <= lcut)
 
@@ -301,16 +297,14 @@ def _fwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
       # empty plan slots (tile fits in fewer merged slabs) skip outright;
       # the first slab still must run to initialise image + carries
       @pl.when(jnp.logical_and(
-          jnp.logical_not(saturated),
-          jnp.logical_or(cell_lo < cell_hi, first)))
+          jnp.logical_not(saturated), jnp.logical_or(slab_used, first)))
       def _():
         if ablate == "no_assemble":
           cnt = jnp.int32(c_cap)
         else:
           cnt, _meta = _assemble(
-              edges_ref, strip_ref, rows_ref, i, cell_lo, cell_hi, g,
-              s_edges=s_edges, gw=gw, tw=tw, groups_x=groups_x,
-              c_cap=c_cap)
+              desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
+              w_max=w_max, c_cap=c_cap)
         _compute(cnt)
 
       return 0
@@ -337,12 +331,12 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
   width = mapping.table.shape[1]
   dtype = mapping.table.dtype
   n_groups = mapping.num_groups
-  tbl = mapping.edges.shape[-1]
+  desc_w = mapping.desc.shape[-1]
 
   kernel = functools.partial(
       _fwd_kernel, config=config, f=f, gw=gw, tw=mapping.tiles_wide,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
-      s_cap=s_cap, ablate=ablate)
+      s_cap=s_cap, w_max=mapping.w_max, ablate=ablate)
 
   def strip_spec(b, which):
     # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
@@ -355,10 +349,8 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
       num_scalar_prefetch=1,
       grid=(n_groups,),
       in_specs=[
-          pl.BlockSpec((1, 3, tbl), lambda g, sb: (g, 0, 0),
+          pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
                        memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, 1, gw * (mapping.num_slabs + 1)),
-                       lambda g, sb: (g, 0, 0), memory_space=pltpu.SMEM),
           strip_spec(0, 0), strip_spec(0, 1),
           strip_spec(1, 0), strip_spec(1, 1),
           strip_spec(2, 0), strip_spec(2, 1),
@@ -368,7 +360,7 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
           pl.BlockSpec((8, 128), lambda g, sb: (g, 0)),
       ],
       scratch_shapes=[
-          pltpu.VMEM((3, 2 * s_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK), width), dtype),
           pltpu.VMEM((c_cap + _TIERS[-1], width), dtype),
           pltpu.VMEM((1, pix), dtype),
       ],
@@ -384,8 +376,7 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(mapping.strip_blk.reshape(-1), mapping.edges,
-    mapping.plan[:, None, :],
+  )(mapping.strip_blk.reshape(-1), mapping.desc,
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table)
 
@@ -399,13 +390,13 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
+def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 img_ref, gimg_ref,
                 gout_ref,
                 strip_ref, rows_ref, carry_ref, grows_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int, th: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
-                run_cap: int, slabw: int):
+                run_cap: int, slabw: int, w_max: int):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
@@ -413,9 +404,10 @@ def _bwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
   heur = config.compute_point_heuristic
   ts = config.tile_size
 
+  stride = 2 * s_cap + STRIP_SLACK
   for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
-    strip_ref[b, 0:s_cap, :] = blk_a[...]
-    strip_ref[b, s_cap:2 * s_cap, :] = blk_b[...]
+    strip_ref[b * stride:b * stride + s_cap, :] = blk_a[...]
+    strip_ref[b * stride + s_cap:b * stride + 2 * s_cap, :] = blk_b[...]
 
   gout_ref[...] = jnp.zeros(gout_ref.shape, gout_ref.dtype)
 
@@ -431,8 +423,7 @@ def _bwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
     def slab_body(s, _):
       first = s == 0
-      cell_lo = plan_ref[0, 0, i * (s_edges + 1) + s]
-      cell_hi = plan_ref[0, 0, i * (s_edges + 1) + s + 1]
+      slab_used = desc_ref[0, 0, (i * s_edges + s) * (w_max * 4) + 1] > 0
       saturated = jnp.logical_and(
           jnp.logical_not(first), jnp.max(carry_ref[0:1, :]) <= lcut)
 
@@ -521,36 +512,37 @@ def _bwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         grows_ref[0:c_cap, :] = jnp.concatenate(parts, -1)  # (C, slabw)
 
         # copy-back: fetch-order grad rows -> RUN_CAP-strided band buffers.
-        # Read-modify-write: a raw tiered copy's overrun tail would clobber
-        # the zero-init of neighbouring homes' never-written cells.
-        for b, k, dst, lo, ln in meta:
-          run0 = edges_ref[0, b, ((i + k) * 4 + 0) * s_edges + 0]
-          off = (i + k) * run_cap + (lo - run0)
-          ln_c = jnp.minimum(ln, (i + k + 1) * run_cap - off)
+        # Value-level RMW (a raw tiered copy's overrun tail would clobber
+        # the zero-init of neighbouring homes' never-written cells); the
+        # class's lane slab is selected by a dynamic lane ROLL + mask —
+        # dynamic offsets are only legal on sublanes, and narrow-lane
+        # buffers would tile-pad 12.8x, so all 9 slabs share the lane axis.
+        for src_cur, dst, bk, ln in meta:
+          left = bk * slabw
           for t_i, tier in enumerate(_TIERS):
             lower = _TIERS[t_i - 1] if t_i else 0
 
-            @pl.when((ln_c > lower) & (ln_c <= tier))
-            def _(dst=dst, off=off, ln_c=ln_c, tier=tier, b=b, k=k):
-              # value-level RMW into the slab's STATIC lane range: dynamic
-              # offsets live on sublanes only, and narrow-lane buffers get
-              # 12.8x tile padding — so all 9 slabs share the lane axis
-              left = (b * 3 + k) * slabw
+            @pl.when((ln > lower) & (ln <= tier))
+            def _(src_cur=src_cur, dst=dst, left=left, ln=ln, tier=tier):
               riota = jax.lax.broadcasted_iota(jnp.int32, (tier, 1), 0)
-              old = gout_ref[0, pl.ds(off, tier), :]
-              new_rows = grows_ref[pl.ds(dst, tier), :].astype(old.dtype)
-              parts = [new_rows]
-              if left > 0:
-                parts.insert(0, jnp.zeros((tier, left), new_rows.dtype))
-              if 8 * slabw - left > 0:
-                parts.append(
-                    jnp.zeros((tier, 8 * slabw - left), new_rows.dtype))
-              placed = jnp.concatenate(parts, -1)
+              liota = jax.lax.broadcasted_iota(
+                  jnp.int32, (1, 9 * slabw), 1)
+              old = gout_ref[0, pl.ds(dst, tier), :]
+              new_rows = grows_ref[pl.ds(src_cur, tier), :].astype(
+                  old.dtype)
+              # dynamic lane rotate needs a 128-aligned lane count
+              padded = jnp.concatenate(
+                  [new_rows,
+                   jnp.zeros((tier, 128 - slabw), new_rows.dtype)], -1)
+              if use_interpret():
+                placed = jnp.roll(padded, left, axis=1)
+              else:
+                placed = pltpu.roll(padded, left, 1)
+              placed = placed[:, :9 * slabw]
               keep = jnp.logical_or(
-                  riota >= ln_c,
-                  (jax.lax.broadcasted_iota(jnp.int32, (1, 9 * slabw), 1)
-                   // slabw) != (b * 3 + k))
-              gout_ref[0, pl.ds(off, tier), :] = (
+                  riota >= ln,
+                  (liota < left) | (liota >= left + slabw))
+              gout_ref[0, pl.ds(dst, tier), :] = (
                   jnp.where(keep, old, placed))
 
         lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
@@ -560,12 +552,11 @@ def _bwd_kernel(sb_ref, edges_ref, plan_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         carry_ref[1:2, :] = s_prev + jnp.sum(wgf, 0, keepdims=True)
 
       @pl.when(jnp.logical_and(
-          jnp.logical_not(saturated),
-          jnp.logical_or(cell_lo < cell_hi, first)))
+          jnp.logical_not(saturated), jnp.logical_or(slab_used, first)))
       def _():
         cnt, meta = _assemble(
-            edges_ref, strip_ref, rows_ref, i, cell_lo, cell_hi, g,
-            s_edges=s_edges, gw=gw, tw=tw, groups_x=groups_x, c_cap=c_cap)
+            desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
+            w_max=w_max, c_cap=c_cap)
         _compute(cnt, meta)
 
       return 0
@@ -596,17 +587,15 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
   width = mapping.table.shape[1]
   dtype = mapping.table.dtype
   n_groups = mapping.num_groups
-  tbl = mapping.edges.shape[-1]
+  desc_w = mapping.desc.shape[-1]
   slabw = 7 + f + (2 if config.compute_point_heuristic else 0)
 
   kernel = functools.partial(
       _bwd_kernel, config=config, f=f, gw=gw, tw=tw, th=mapping.tiles_high,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
-      s_cap=s_cap, run_cap=run_cap, slabw=slabw)
+      s_cap=s_cap, run_cap=run_cap, slabw=slabw, w_max=mapping.w_max)
 
   def strip_spec(b, which):
-    # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
-    # operands get lane-padded 3->128 in SMEM (3 MB at 6k groups)
     return pl.BlockSpec(
         (s_cap, width),
         lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
@@ -615,10 +604,8 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       num_scalar_prefetch=1,
       grid=(n_groups,),
       in_specs=[
-          pl.BlockSpec((1, 3, tbl), lambda g, sb: (g, 0, 0),
+          pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
                        memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, 1, gw * (mapping.num_slabs + 1)),
-                       lambda g, sb: (g, 0, 0), memory_space=pltpu.SMEM),
           strip_spec(0, 0), strip_spec(0, 1),
           strip_spec(1, 0), strip_spec(1, 1),
           strip_spec(2, 0), strip_spec(2, 1),
@@ -630,7 +617,7 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
                        lambda g, sb: (g, 0, 0)),
       ],
       scratch_shapes=[
-          pltpu.VMEM((3, 2 * s_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK), width), dtype),
           pltpu.VMEM((c_cap + _TIERS[-1], width), dtype),
           pltpu.VMEM((2, pix), dtype),
           pltpu.VMEM((c_cap + _TIERS[-1], slabw), dtype),
@@ -652,8 +639,7 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(mapping.strip_blk.reshape(-1), mapping.edges,
-    mapping.plan[:, None, :],
+  )(mapping.strip_blk.reshape(-1), mapping.desc,
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table,
     image_tiled, g_image_tiled)
