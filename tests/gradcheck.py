@@ -34,7 +34,13 @@ def check_grads(f, args, order: int = 1, modes=("rev",), rtol: float = 1e-6,
   del order, modes  # API compatibility; only first-order reverse mode
   rng = np.random.default_rng(seed)
 
+  f_jit = jax.jit(f)   # without this every probe re-traces f (~seconds)
   out, vjp = jax.vjp(f, *args)
+
+  @jax.jit
+  def probe(t, v, u):
+    shifted = jax.tree.map(lambda x, dv: x + t * dv, list(args), list(v))
+    return _dot(f_jit(*shifted), u)
 
   for _ in range(n_directions):
     v = _random_like(rng, args)
@@ -45,11 +51,7 @@ def check_grads(f, args, order: int = 1, modes=("rev",), rtol: float = 1e-6,
     analytic = float(_dot(grads, v))
 
     # numeric: d/dt <u, f(args + t v)> via central differences
-    def scalar(t):
-      shifted = jax.tree.map(lambda x, dv: x + t * dv, list(args), list(v))
-      return float(_dot(f(*shifted), u))
-
-    numeric = (scalar(eps) - scalar(-eps)) / (2 * eps)
+    numeric = float(probe(eps, v, u) - probe(-eps, v, u)) / (2 * eps)
 
     np.testing.assert_allclose(
         analytic, numeric, rtol=rtol, atol=atol,

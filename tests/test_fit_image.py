@@ -10,6 +10,17 @@ import pytest
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+def test_fit_image_gaussians_smoke():
+  """Fast tier: the trainer runs end-to-end and makes progress."""
+  from examples.fit_image_gaussians import main
+
+  psnr = main(["--n", "120", "--iters", "15", "--epoch", "8",
+               "--max_epoch", "8", "--image_size", "48,32",
+               "--max_overlaps", "8192"])
+  assert psnr > 10, f"training made no progress: PSNR {psnr}"
+
+
+@pytest.mark.slow
 def test_fit_image_gaussians_converges():
   from examples.fit_image_gaussians import main
 

@@ -75,13 +75,13 @@ def test_forward_matches_oracle_quantile(seed):
   np.testing.assert_allclose(np.asarray(out.visibility), ref_vis, atol=1e-10)
 
 
-# seed coverage: 30 seeds x 2 modes = 60 gradchecks; seeds 0-3 run in the
+# seed coverage: 30 seeds x 2 modes = 60 gradchecks; seeds 0-1 run in the
 # default (fast) tier, the rest in the slow tier (reference runs 100 seeds,
 # tests/test_rasterizer.py:62-90)
 @pytest.mark.parametrize(
-    "seed", [*range(4),
+    "seed", [0,
              *(pytest.param(s, marks=pytest.mark.slow)
-               for s in range(4, 30))])
+               for s in range(1, 30))])
 @pytest.mark.parametrize("antialias", [False, True])
 def test_rasterizer_gradcheck(seed, antialias):
   """f64 gradcheck of the hand-written backward, through the full pipeline
@@ -89,7 +89,7 @@ def test_rasterizer_gradcheck(seed, antialias):
   config = RasterConfig(tile_size=8, chunk_size=8, antialias=antialias)
   image_size = (8, 8)
   rng = np.random.default_rng(seed)
-  n = 20
+  n = 14
   g2 = random_2d_gaussians(rng, n, image_size, num_channels=2,
                            scale_factor=0.8, dtype=jnp.float64)
 

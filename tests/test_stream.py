@@ -53,14 +53,18 @@ def run_both(seed, n=80, image_size=(32, 24), group_width=2):
           np.asarray(img_t), np.asarray(alpha_t))
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize(
+    "seed", [0, 1, *(pytest.param(x, marks=pytest.mark.slow)
+                     for x in range(2, 4))])
 def test_stream_forward_matches_sorted(seed):
   img_s, w_s, img_t, w_t = run_both(seed)
   np.testing.assert_allclose(img_t, img_s, atol=1e-5, rtol=1e-5)
   np.testing.assert_allclose(w_t, w_s, atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize(
+    "seed", [0, *(pytest.param(x, marks=pytest.mark.slow)
+                  for x in range(1, 3))])
 def test_stream_gradients_match_sorted(seed):
   config = RasterConfig(tile_size=8, chunk_size=8)
   image_size = (32, 24)

@@ -14,6 +14,9 @@ from .data_types import Gaussians2D, Gaussians3D, RasterConfig
 from .mapper.tile_mapper import TileMapping, map_to_tiles, pad_to_tile
 from .perspective import CameraParams
 from .rasterizer.function import RasterOut, rasterize, rasterize_with_tiles
+from .rasterizer.stream import (StreamMapping, calibrate_stream,
+                                stream_map)
+from .rasterizer.stream_function import stream_rasterize_with_mapping
 from .renderer import render_gaussians, render_projected, viewspace_gradient
 from .rendering import RenderedPoints, Rendering
 from .spherical_harmonics import evaluate_sh_at
@@ -22,6 +25,8 @@ __all__ = [
     "Gaussians2D", "Gaussians3D", "RasterConfig", "CameraParams",
     "TileMapping", "map_to_tiles", "pad_to_tile",
     "RasterOut", "rasterize", "rasterize_with_tiles",
+    "StreamMapping", "calibrate_stream", "stream_map",
+    "stream_rasterize_with_mapping",
     "render_gaussians", "render_projected", "viewspace_gradient",
     "RenderedPoints", "Rendering", "evaluate_sh_at",
     "perspective",
