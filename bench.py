@@ -3,18 +3,25 @@
 North-star protocol (BASELINE.md): forward+backward render at 2048 px on one
 TPU v5e chip vs the RTX-4090 diff_gaussian_rasterization baseline
 (28.52 it/s = 35.1 ms/frame on the bicycle scene).  The mip-NeRF-360 scenes
-are not available offline, so this uses a synthetic scene calibrated to the
-bicycle workload scale (~2M visible splats at 2048x1536 with a similar
-overlap/pixel profile); the comparison is approximate until real scene data
-is wired in.
+are not available offline, so two synthetic scenes stand in:
 
-Uses the tile-stream pipeline (tpu_splatting/rasterizer/stream*.py): one
-N-sized home sort, windowed fetch, rank-mask-matmul compositing, sort-free
-gradient reduction.  The mapping is rebuilt EVERY iteration (the reference
-protocol renders a new viewpoint per frame) and the run is only published if
-no overlaps were dropped (num_overflow == 0).
+* ``uniform``: the round-1/2 scene — 2M small uniform splats at 2048x1536
+  with a bicycle-like overlap/pixel profile.
+* ``heavy``: log-normal splat scales + near-1 alpha mass calibrated to 3DGS
+  checkpoint statistics (long scale tail incl. splats spanning many tiles —
+  exercises the wide-gaussian duplication path), same count/resolution.
 
-Prints: {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+Both run the CONFIGURATION THE TRAINER USES (visibility + point heuristics
+on, gradients w.r.t. points and features, probe cotangents), through the
+production stream pipeline (tpu_splatting/rasterizer/stream*.py), with the
+loss computed in tile layout (no detile/entile transposes in the hot path —
+the trainer entiles its target once).  The mapping is rebuilt EVERY
+iteration (the reference protocol renders a new viewpoint per frame) and a
+run is only published if no overlaps were dropped (num_overflow == 0).
+
+Prints ONE line:
+  {"metric": "synthetic_bicycle_2048px_fwd_bwd", "value": <headline ms>,
+   "unit": "ms", "vs_baseline": 35.1/value, "heavy_ms": ..., "map_ms": ...}
 """
 
 from __future__ import annotations
@@ -27,22 +34,11 @@ import numpy as np
 
 
 BASELINE_MS = 35.1  # diff_gaussian_rasterization, bicycle @ 2048, RTX 4090
+IMAGE_SIZE = (2048, 1536)
+N = 2_000_000
 
 
-def main():
-  import jax
-  import jax.numpy as jnp
-
-  from tpu_splatting import RasterConfig
-  from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
-  from tpu_splatting.rasterizer.stream_function import (
-      stream_rasterize_with_mapping)
-  from tpu_splatting.utils.benchmarked import benchmarked
-
-  image_size = (2048, 1536)
-  n = 2_000_000
-
-  rng = np.random.default_rng(0)
+def uniform_scene(rng, n, image_size):
   w, h = image_size
   density = 1.2 * w / (1 + math.sqrt(n))
   packed = np.zeros((n, 7), np.float32)
@@ -53,54 +49,127 @@ def main():
   packed[:, 3] = np.sin(theta)
   packed[:, 4:6] = (rng.random((n, 2)) + 0.2) * density
   packed[:, 6] = rng.uniform(0.1, 0.9, n)
+  depth = rng.uniform(0.05, 0.95, n).astype(np.float32)
+  feats = rng.random((n, 3)).astype(np.float32)
+  return packed, depth, feats
+
+
+def heavy_scene(rng, n, image_size):
+  """3DGS-checkpoint-like statistics: log-normal projected scales (median
+  ~1.3 px, long tail to ~100 px), anisotropy, opacity mass near 0 and 1
+  (sigmoid of a wide logit distribution), mild spatial clustering."""
+  w, h = image_size
+  packed = np.zeros((n, 7), np.float32)
+  # cluster centres + jitter: non-uniform tile occupancy like real scenes
+  n_c = 4096
+  centres = np.stack([rng.uniform(0, w, n_c), rng.uniform(0, h, n_c)], 1)
+  which = rng.integers(0, n_c, n)
+  jitter = rng.normal(0.0, 0.08, (n, 2)) * np.asarray([w, h])
+  pos = centres[which] + jitter
+  packed[:, 0] = np.clip(pos[:, 0], 0, w - 1)
+  packed[:, 1] = np.clip(pos[:, 1], 0, h - 1)
+  theta = rng.uniform(0, np.pi, n)
+  packed[:, 2] = np.cos(theta)
+  packed[:, 3] = np.sin(theta)
+  s_major = np.exp(rng.normal(0.35, 0.9, n)).astype(np.float32)   # px
+  ratio = np.exp(-np.abs(rng.normal(0.0, 0.7, n))).astype(np.float32)
+  packed[:, 4] = np.clip(s_major, 0.05, 110.0)
+  packed[:, 5] = np.clip(s_major * ratio, 0.05, 110.0)
+  packed[:, 6] = 1.0 / (1.0 + np.exp(-rng.normal(0.0, 2.5, n)))
+  depth = rng.uniform(0.02, 0.98, n).astype(np.float32)
+  feats = rng.random((n, 3)).astype(np.float32)
+  return packed, depth.astype(np.float32), feats
+
+
+def bench_scene(name, packed, depth, feats, gw):
+  import dataclasses
+
+  import jax
+  import jax.numpy as jnp
+
+  from tpu_splatting import RasterConfig
+  from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
+  from tpu_splatting.rasterizer.stream_function import (
+      probe_width, stream_rasterize_with_mapping, tile_mask)
+  from tpu_splatting.utils.benchmarked import benchmarked
+
+  config = RasterConfig(compute_point_heuristic=True,
+                        compute_visibility=True)
   packed = jnp.asarray(packed)
-  depth = jnp.asarray(rng.uniform(0.05, 0.95, n).astype(np.float32))
-  feats = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+  depth = jnp.asarray(depth)
+  feats = jnp.asarray(feats)
 
-  config = RasterConfig()
-  gw = 2
-
-  cal = calibrate_stream(packed, depth, feats, image_size, config,
+  cal = calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
                          group_width=gw)
-  print(f"# calibration: {cal}", file=sys.stderr)
-  run_cap = cal["run_cap"]
+  print(f"# {name} calibration: {cal}", file=sys.stderr)
 
-  map_f = lambda p, d, f: stream_map(
-      p, d, f, image_size, config, num_slabs=cal["num_slabs"],
-      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
-      group_width=gw, w_max=cal["w_max"], run_cap=cal["run_cap"])
+  caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
+              slab_cap=cal["slab_cap"], group_width=gw,
+              w_max=cal["w_max"], run_cap=cal["run_cap"])
+  map_f = lambda p, d, f: stream_map(p, d, f, IMAGE_SIZE, config, **caps)
 
   # the benchmark is only valid if NO overlaps were dropped
   m = jax.jit(map_f)(packed, depth, feats)
   overflow = int(m.num_overflow)
-  print(f"# overflow {overflow}", file=sys.stderr)
-  assert overflow == 0, f"benchmark invalid: {overflow} rows dropped"
-  assert cal["max_run"] <= run_cap
+  print(f"# {name} overflow {overflow}", file=sys.stderr)
+  assert overflow == 0, f"{name}: benchmark invalid, {overflow} rows dropped"
 
-  def fwd_bwd(p, f, mapping):
-    def loss(p, f):
-      img, wgt = stream_rasterize_with_mapping(
-          p, f, mapping, image_size, config)
-      return jnp.sum(img ** 2) + jnp.sum(wgt)
+  # tiled-layout loss: the trainer entiles its target ONCE; the fwd+bwd
+  # dispatch never leaves tile layout (no detile/entile transposes)
+  rngt = np.random.default_rng(7)
+  tgt_full = jnp.asarray(
+      rngt.random((IMAGE_SIZE[1], IMAGE_SIZE[0], 3)).astype(np.float32))
+  from tpu_splatting.rasterizer.stream_function import entile
+  tgt = entile(tgt_full, m.tiles_wide, m.tiles_high, config.tile_size)
+  mask = tile_mask(IMAGE_SIZE, m.tiles_wide, m.tiles_high, config.tile_size)
+  pw = probe_width(config)
 
-    return jax.grad(loss, argnums=(0, 1))(p, f)
+  def fwd_bwd(p, f, tgt, mask, mapping):
+    probe = jnp.zeros((p.shape[0], pw), p.dtype)
+
+    def loss(p, f, probe):
+      it = stream_rasterize_with_mapping(
+          p, f, mapping, IMAGE_SIZE, config, probe=probe, tiled=True)
+      err = it[:, :3, :] - tgt
+      return (jnp.sum(mask * (err * err))
+              + jnp.sum(mask[:, 0, :] * it[:, 3, :]))
+
+    return jax.grad(loss, argnums=(0, 1, 2))(p, f, probe)
 
   # A frame = one mapping dispatch + one fwd+bwd dispatch — the natural
-  # two-call structure of a training step (the trainer reuses the mapping
-  # between the forward and backward anyway).  Timed as two on-device
-  # scans; the per-dispatch tunnel overhead (~1.2 ms each) is added so the
-  # reported number is a full wall-clock frame.
-  ms_map = benchmarked("map 2048px 2M splats", map_f,
-                       (packed, depth, feats), iters=3)
-  ms_raster = benchmarked("fwd+bwd 2048px 2M splats", fwd_bwd,
-                          (packed, feats, m), iters=3)
-  ms = ms_map + ms_raster + 2 * 1.2
+  # two-call structure of a training step.  Timed as two on-device scans;
+  # per-dispatch tunnel overhead (~1.2 ms each) is added so the reported
+  # number is a full wall-clock frame.
+  ms_map = benchmarked(f"{name} map", map_f, (packed, depth, feats),
+                       iters=3)
+  ms_raster = benchmarked(f"{name} fwd+bwd", fwd_bwd,
+                          (packed, feats, tgt, mask, m), iters=3)
+  return ms_map, ms_raster, ms_map + ms_raster + 2 * 1.2
 
+
+def main():
+  import jax
+  jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+  rng = np.random.default_rng(0)
+  scenes = {
+      "uniform": uniform_scene(rng, N, IMAGE_SIZE),
+      "heavy": heavy_scene(np.random.default_rng(1), N, IMAGE_SIZE),
+  }
+  results = {}
+  for name, (p, d, f) in scenes.items():
+    results[name] = bench_scene(name, p, d, f, gw=2)
+
+  ms = results["uniform"][2]
   print(json.dumps({
       "metric": "synthetic_bicycle_2048px_fwd_bwd",
       "value": round(ms, 3),
       "unit": "ms",
       "vs_baseline": round(BASELINE_MS / ms, 4),
+      "map_ms": round(results["uniform"][0], 3),
+      "raster_ms": round(results["uniform"][1], 3),
+      "heavy_ms": round(results["heavy"][2], 3),
+      "heavy_map_ms": round(results["heavy"][0], 3),
   }))
 
 
@@ -116,3 +185,9 @@ if __name__ == "__main__":
         "error": str(e)[:200],
     }))
     sys.exit(0)
+
+
+# kept for import-compatibility with benchmarks/bench_stream.py probes
+def make_uniform_inputs():
+  rng = np.random.default_rng(0)
+  return uniform_scene(rng, N, IMAGE_SIZE)

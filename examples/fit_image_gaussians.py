@@ -107,18 +107,20 @@ def random_gaussians2d(key, n, image_size, alpha_range=(0.5, 1.0),
   """jnp port of tests/random_data.py:78-103 (reference fixture)."""
   w, h = image_size
   ks = jax.random.split(key, 6)
-  position = jax.random.uniform(ks[0], (n, 2)) * jnp.asarray([w, h], jnp.float32)
-  depth = jax.random.uniform(ks[1], (n,))
+  f32 = jnp.float32  # explicit: under x64 test envs random defaults to f64
+  position = jax.random.uniform(ks[0], (n, 2), f32) * jnp.asarray(
+      [w, h], f32)
+  depth = jax.random.uniform(ks[1], (n,), f32)
   density = scale_factor * w / (1 + math.sqrt(n))
-  scaling = (jax.random.uniform(ks[2], (n, 2)) + 0.2) * density
-  rotation = jax.random.normal(ks[3], (n, 2))
+  scaling = (jax.random.uniform(ks[2], (n, 2), f32) + 0.2) * density
+  rotation = jax.random.normal(ks[3], (n, 2), f32)
   rotation = rotation / jnp.linalg.norm(rotation, axis=1, keepdims=True)
   low, high = alpha_range
-  alpha = jax.random.uniform(ks[4], (n,)) * (high - low) + low
+  alpha = jax.random.uniform(ks[4], (n,), f32) * (high - low) + low
   return Gaussians2D(
       position=position, depths=depth, log_scaling=jnp.log(scaling),
       rotation=rotation, alpha_logit=inverse_sigmoid(alpha)[:, None],
-      feature=jax.random.uniform(ks[5], (n, num_channels)))
+      feature=jax.random.uniform(ks[5], (n, num_channels), f32))
 
 
 def make_parameter_groups(max_lr):

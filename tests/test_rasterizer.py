@@ -133,9 +133,12 @@ def test_saturation_freeze():
 def test_heuristic_probe_gradients():
   """The probe cotangent carries (prune_cost, split_score); visible points
   get positive prune cost, invisible points get exactly zero."""
+  # pipeline="sorted": this asserts the sorted pipeline's forward-visibility
+  # contract (the stream path surfaces visibility via the probe cotangent —
+  # tested in test_stream.py::test_stream_probe_outputs_match_sorted)
   config = RasterConfig(tile_size=8, chunk_size=8,
                         compute_point_heuristic=True,
-                        compute_visibility=True)
+                        compute_visibility=True, pipeline="sorted")
   image_size = (16, 16)
   g2, packed = make_scene(3, n=30, image_size=image_size)
 
@@ -172,7 +175,10 @@ def test_visibility_equals_feature_gradient():
   """The visibility invariant (reference tests/test_visibility.py:34-64):
   under an all-ones image gradient, the feature gradient of a 1-channel
   rasterization equals the forward-computed visibility."""
-  config = RasterConfig(tile_size=8, chunk_size=8, compute_visibility=True)
+  # sorted pipeline: forward-computed visibility (the stream analogue is the
+  # probe's visibility column, test_stream.py)
+  config = RasterConfig(tile_size=8, chunk_size=8, compute_visibility=True,
+                        pipeline="sorted")
   image_size = (32, 32)
   g2, packed = make_scene(7, n=60, image_size=image_size, num_channels=1)
 

@@ -13,7 +13,7 @@ from tpu_splatting.misc.renderer2d import project_gaussians2d
 from tpu_splatting.rasterizer.function import rasterize_with_tiles
 from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
 from tpu_splatting.rasterizer.stream_function import (
-    stream_rasterize_with_mapping)
+    probe_width, stream_rasterize_with_mapping)
 
 from random_data import random_2d_gaussians
 
@@ -30,7 +30,8 @@ def make_scene(seed, n, image_size, scale_factor=0.45):
   return packed, depths, g2.feature
 
 
-def run_both(seed, n=80, image_size=(32, 24), group_width=2):
+def run_both(seed, n=80, image_size=(32, 24), group_width=2,
+             calibrate=False):
   config = RasterConfig(tile_size=8, chunk_size=8)
   packed, depths, feats = make_scene(seed, n, image_size)
 
@@ -39,10 +40,16 @@ def run_both(seed, n=80, image_size=(32, 24), group_width=2):
   assert int(sm.num_overflow) == 0
   img_s = rasterize_with_tiles(packed, feats, sm, image_size, config)
 
-  cal = calibrate_stream(packed, depths, feats, image_size, config,
-                         group_width=group_width)
+  if calibrate:   # exercised once — each calibration pass is a fresh
+    # stream_map compile, too slow for every fast-tier test
+    cal = calibrate_stream(packed, depths, feats, image_size, config,
+                           group_width=group_width)
+    cal["num_slabs"] = max(cal["num_slabs"], 2)
+  else:
+    cal = dict(num_slabs=4, strip_cap=1024, slab_cap=256, w_max=40,
+               run_cap=128)
   mm = stream_map(packed, depths, feats, image_size, config,
-                  num_slabs=max(cal["num_slabs"], 2),
+                  num_slabs=cal["num_slabs"],
                   strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
                   group_width=group_width, w_max=cal["w_max"],
                   run_cap=cal["run_cap"])
@@ -57,7 +64,8 @@ def run_both(seed, n=80, image_size=(32, 24), group_width=2):
     "seed", [0, 1, *(pytest.param(x, marks=pytest.mark.slow)
                      for x in range(2, 4))])
 def test_stream_forward_matches_sorted(seed):
-  img_s, w_s, img_t, w_t = run_both(seed)
+  # seed 0 additionally exercises calibrate_stream end-to-end
+  img_s, w_s, img_t, w_t = run_both(seed, calibrate=seed == 0)
   np.testing.assert_allclose(img_t, img_s, atol=1e-5, rtol=1e-5)
   np.testing.assert_allclose(w_t, w_s, atol=1e-5, rtol=1e-5)
 
@@ -80,12 +88,9 @@ def test_stream_gradients_match_sorted(seed):
     out = rasterize_with_tiles(p, f, sm, image_size, config)
     return jnp.sum((out.image - tgt) ** 2) + jnp.sum(out.image_weight ** 2)
 
-  cal = calibrate_stream(packed, depths, feats, image_size, config,
-                         group_width=2)
   mm = stream_map(packed, depths, feats, image_size, config,
-                  num_slabs=max(cal["num_slabs"], 2),
-                  strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
-                  group_width=2, w_max=cal["w_max"], run_cap=cal["run_cap"])
+                  num_slabs=4, strip_cap=1024, slab_cap=256,
+                  group_width=2, w_max=40, run_cap=128)
   assert int(mm.num_overflow) == 0
 
   def loss_stream(p, f):
@@ -103,3 +108,168 @@ def test_stream_gradients_match_sorted(seed):
                              atol=1e-4, rtol=1e-4)
   np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_s),
                              atol=1e-4, rtol=1e-4)
+
+
+def _stream_mapping(packed, depths, feats, image_size, config,
+                    group_width=2):
+  mm = stream_map(packed, depths, feats, image_size, config,
+                  group_width=group_width, num_slabs=4, strip_cap=1024,
+                  slab_cap=256, w_max=40, run_cap=128)
+  assert int(mm.num_overflow) == 0
+  return mm
+
+
+@pytest.mark.parametrize("antialias", [False, True])
+def test_stream_probe_outputs_match_sorted(antialias):
+  """Visibility + heuristics surface as probe cotangents on the stream
+  path and must equal the sorted pipeline's forward visibility and probe
+  heuristics (same reference semantics, backward.py:190-194)."""
+  config = RasterConfig(tile_size=8, chunk_size=8, antialias=antialias,
+                        compute_point_heuristic=True,
+                        compute_visibility=True)
+  image_size = (32, 24)
+  n = 80
+  packed, depths, feats = make_scene(3, n, image_size)
+  tgt = jnp.asarray(
+      np.random.default_rng(0).random((24, 32, 3)).astype(np.float32))
+
+  sm = map_to_tiles(packed, depths, image_size, config, max_overlaps=4096,
+                    features=feats)
+
+  def loss_sorted(p, f, pr):
+    out = rasterize_with_tiles(p, f, sm, image_size, config,
+                               heuristic_probe=pr)
+    return (jnp.sum((out.image - tgt) ** 2)
+            + jnp.sum(out.image_weight ** 2)), out.visibility
+
+  probe_s = jnp.zeros((n, 2), jnp.float32)
+  (_, vis_s), (gp_s, gf_s, heur_s) = jax.value_and_grad(
+      loss_sorted, argnums=(0, 1, 2), has_aux=True)(packed, feats, probe_s)
+
+  mm = _stream_mapping(packed, depths, feats, image_size, config)
+  probe_t = jnp.zeros((n, probe_width(config)), jnp.float32)
+
+  def loss_stream(p, f, pr):
+    img, w = stream_rasterize_with_mapping(p, f, mm, image_size, config,
+                                           probe=pr)
+    return jnp.sum((img - tgt) ** 2) + jnp.sum(w ** 2)
+
+  _, (gp_t, gf_t, gpr_t) = jax.value_and_grad(
+      loss_stream, argnums=(0, 1, 2))(packed, feats, probe_t)
+
+  np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gp_s),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_s),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gpr_t[:, 0]), np.asarray(vis_s),
+                             atol=1e-5, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gpr_t[:, 1:]), np.asarray(heur_s),
+                             atol=1e-5, rtol=1e-4)
+
+
+def test_stream_quantile_mode_matches_sorted():
+  """Non-blending (median/quantile) mode: select-first-crossing semantics
+  (reference forward.py:105-112), forward-only."""
+  config = RasterConfig(tile_size=8, chunk_size=8,
+                        use_alpha_blending=False, saturate_threshold=0.25)
+  image_size = (32, 24)
+  n = 80
+  packed, depths, _ = make_scene(7, n, image_size)
+  dfeat = depths[:, None]
+
+  sm = map_to_tiles(packed, depths, image_size, config, max_overlaps=4096,
+                    features=dfeat)
+  out_s = rasterize_with_tiles(packed, dfeat, sm, image_size, config)
+
+  mm = _stream_mapping(packed, depths, dfeat, image_size, config)
+  img_t, w_t = stream_rasterize_with_mapping(packed, dfeat, mm,
+                                             image_size, config)
+  np.testing.assert_allclose(np.asarray(img_t[..., 0]),
+                             np.asarray(out_s.image[..., 0]), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(w_t),
+                             np.asarray(out_s.image_weight), atol=1e-5)
+
+
+def test_stream_wide_gaussians_match_sorted():
+  """Wide splats (reach beyond +-1 tile of home, here ~100 px radius) are
+  duplicated across their span tiles at map time and their gradients
+  scatter-add back; image + grads must match the sorted pipeline's
+  big-gaussian path (reference grid_query.py:9-27 handles arbitrary
+  spans)."""
+  rng = np.random.default_rng(11)
+  n, image_size = 60, (64, 48)
+  g2 = random_2d_gaussians(rng, n, image_size, num_channels=3,
+                           scale_factor=0.4, alpha_range=(0.2, 0.9),
+                           dtype=jnp.float32)
+  packed = np.array(project_gaussians2d(g2), copy=True)
+  packed[:8, 4:6] = rng.uniform(20.0, 35.0, (8, 2))  # sigma ~30px
+  packed = jnp.asarray(packed)
+  depths = jnp.asarray(rng.permutation(n).astype(np.float32) + 0.5) / n
+  feats = g2.feature
+  config = RasterConfig(tile_size=8, chunk_size=8, big_tile_window=16)
+  tgt = jnp.asarray(rng.random((48, 64, 3)).astype(np.float32))
+
+  sm = map_to_tiles(packed, depths, image_size, config, max_overlaps=8192,
+                    features=feats)
+  assert int(sm.num_overflow) == 0
+
+  def loss_sorted(p, f):
+    out = rasterize_with_tiles(p, f, sm, image_size, config)
+    return (jnp.sum((out.image - tgt) ** 2)
+            + jnp.sum(out.image_weight ** 2), out)
+
+  (_, out_s), (gp_s, gf_s) = jax.value_and_grad(
+      loss_sorted, argnums=(0, 1), has_aux=True)(packed, feats)
+
+  mm = stream_map(packed, depths, feats, image_size, config, group_width=2,
+                  num_slabs=4, strip_cap=2048, slab_cap=512, w_max=40,
+                  run_cap=256, wide_cap=64, dup_cap=2048)
+  assert int(mm.num_overflow) == 0
+
+  def loss_stream(p, f):
+    img, w = stream_rasterize_with_mapping(p, f, mm, image_size, config)
+    return jnp.sum((img - tgt) ** 2) + jnp.sum(w ** 2), (img, w)
+
+  (_, (img_t, w_t)), (gp_t, gf_t) = jax.value_and_grad(
+      loss_stream, argnums=(0, 1), has_aux=True)(packed, feats)
+
+  np.testing.assert_allclose(np.asarray(img_t), np.asarray(out_s.image),
+                             atol=1e-5, rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(w_t),
+                             np.asarray(out_s.image_weight),
+                             atol=1e-5, rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gp_s),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_s),
+                             atol=1e-4, rtol=1e-4)
+
+
+def test_stream_depth12_key_layout():
+  """The >16k-tile key layout (16-bit home, 12-bit depth) must composite
+  identically to the sorted pipeline when d12 keys are distinct — covers
+  the 4096 px envelope (reference benches at 4096, BENCHMARK.md) without
+  paying for a 4096 px interpret run."""
+  config = RasterConfig(tile_size=8, chunk_size=8)
+  image_size = (32, 24)
+  n = 60   # n*16 < 2^16 so d12 keys stay distinct
+  packed, _, feats = make_scene(21, n, image_size)
+  rng = np.random.default_rng(21)
+  depths = jnp.asarray(
+      (rng.permutation(n).astype(np.float32) + 0.5) / n)
+
+  sm = map_to_tiles(packed, depths, image_size, config, max_overlaps=4096,
+                    features=feats)
+  out_s = rasterize_with_tiles(packed, feats, sm, image_size, config)
+
+  mm = stream_map(packed, depths, feats, image_size, config, group_width=2,
+                  num_slabs=4, strip_cap=1024, slab_cap=256, w_max=40,
+                  run_cap=128, depth_bits=12)
+  assert int(mm.num_overflow) == 0
+  assert mm.depth_bits == 12
+  img_t, w_t = stream_rasterize_with_mapping(packed, feats, mm,
+                                             image_size, config)
+  np.testing.assert_allclose(np.asarray(img_t), np.asarray(out_s.image),
+                             atol=1e-5, rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(w_t),
+                             np.asarray(out_s.image_weight),
+                             atol=1e-5, rtol=1e-5)

@@ -84,6 +84,28 @@ class RasterConfig:
   # backward's register tiling knob, data_types.py:22)
   pixel_stride: Tuple[int, int] = (2, 2)
 
+  # --- rasterization pipeline selection ------------------------------------
+  # "stream": the tile-stream pipeline (one N-sized home sort, windowed
+  #   fetch, rank-mask compositing — rasterizer/stream*.py), the fast path.
+  # "sorted": the sorted-overlap pipeline (global candidate sort,
+  #   chunk-grid kernels — mapper/tile_mapper.py + rasterizer/kernels.py),
+  #   the reference-shaped path; also serves >16k-tile images and very
+  #   wide feature vectors.
+  # "auto": stream when the image/feature shape allows, else sorted.
+  pipeline: str = "auto"
+
+  # Static capacities for the stream pipeline (see rasterizer/stream.py;
+  # size with calibrate_stream and dataclasses.replace them in).  Overflow
+  # is always counted in the mapping, never silent.
+  stream_num_slabs: int = 6
+  stream_strip_cap: int = 8192
+  stream_slab_cap: int = 512
+  stream_group_width: int = 0   # 0 = widest of (8,4,2,1) dividing tiles_wide
+  stream_w_max: int = 40
+  stream_run_cap: int = 512
+  stream_wide_cap: int = 1024
+  stream_dup_cap: int = 8192
+
   @property
   def tile_area(self) -> int:
     return self.tile_size * self.tile_size

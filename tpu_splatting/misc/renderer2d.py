@@ -115,7 +115,8 @@ def uniform_split_gaussians2d(points: Gaussians2D, key: jax.Array, n: int = 2,
 def render_gaussians(gaussians: Gaussians2D, image_size: Tuple[int, int],
                      raster_config: RasterConfig = RasterConfig(),
                      max_overlaps: Optional[int] = None,
-                     heuristic_probe: Optional[jnp.ndarray] = None):
+                     heuristic_probe: Optional[jnp.ndarray] = None,
+                     probe: Optional[jnp.ndarray] = None):
   """2D toy-render entry point (renderer2d.py:134-148)."""
   from ..rasterizer.function import rasterize
 
@@ -127,7 +128,8 @@ def render_gaussians(gaussians: Gaussians2D, image_size: Tuple[int, int],
       image_size=image_size,
       config=raster_config,
       max_overlaps=max_overlaps,
-      heuristic_probe=heuristic_probe)
+      heuristic_probe=heuristic_probe,
+      probe=probe)
 
 
 def render_with_heuristics(loss_fn, gaussians: Gaussians2D,
@@ -137,17 +139,30 @@ def render_with_heuristics(loss_fn, gaussians: Gaussians2D,
   """2D analogue of renderer.render_with_heuristics: render, evaluate
   ``loss_fn(out, gaussians)``, and return ``(loss, out, grads)`` with
   ``out.point_heuristic`` populated (columns: prune_cost, split_score) from
-  the same backward pass as ``grads`` (a Gaussians2D cotangent pytree)."""
+  the same backward pass as ``grads`` (a Gaussians2D cotangent pytree).
+
+  On the stream pipeline, per-point visibility is ALSO a backward-pass
+  product: the probe gains a leading visibility column whose gradient
+  fills ``out.visibility`` (the sorted pipeline computes it in forward)."""
   assert config.compute_point_heuristic, (
       "render_with_heuristics requires config.compute_point_heuristic")
+  from ..rasterizer.stream_function import probe_width, stream_eligible
+
   n = gaussians.position.shape[0]
-  probe = jnp.zeros((n, 2), gaussians.position.dtype)
+  use_stream = stream_eligible(config, image_size)
+  pw = probe_width(config) if use_stream else 2
+  probe = jnp.zeros((n, pw), gaussians.position.dtype)
 
   def wrapped(g, probe):
-    out = render_gaussians(g, image_size, config, max_overlaps,
-                           heuristic_probe=probe)
+    kw = {"probe": probe} if use_stream else {"heuristic_probe": probe}
+    out = render_gaussians(g, image_size, config, max_overlaps, **kw)
     return loss_fn(out, g), out
 
-  (loss, out), (grads, heur) = jax.value_and_grad(
+  (loss, out), (grads, gpr) = jax.value_and_grad(
       wrapped, argnums=(0, 1), has_aux=True)(gaussians, probe)
-  return loss, out._replace(point_heuristic=heur), grads
+  if use_stream:
+    out = out._replace(point_heuristic=gpr[:, pw - 2:],
+                       visibility=gpr[:, 0] if pw == 3 else None)
+  else:
+    out = out._replace(point_heuristic=gpr)
+  return loss, out, grads

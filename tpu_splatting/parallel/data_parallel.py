@@ -44,13 +44,14 @@ def make_mesh(n_devices: Optional[int] = None,
 
 def _render_loss(gaussians: Gaussians3D, projection, t_camera_world,
                  target, camera_template: CameraParams,
-                 config: RasterConfig, max_overlaps: int):
+                 config: RasterConfig, max_overlaps: int, probe=None):
   camera = camera_template.replace(
       projection=projection, T_camera_world=t_camera_world)
   out = render_gaussians(gaussians, camera, config,
-                         max_overlaps=max_overlaps)
+                         max_overlaps=max_overlaps, probe=probe)
   vis = out.points._visibility
   if vis is None:
+    # stream path: visibility arrives as the probe's cotangent instead
     vis = jnp.zeros(gaussians.position.shape[0], gaussians.position.dtype)
   return jnp.mean((out.image - target) ** 2), vis
 
@@ -67,11 +68,11 @@ def data_parallel_loss(mesh: Mesh, camera_template: CameraParams,
   over every camera in the global batch) replicated.
   """
 
-  def per_shard(gaussians, projections, poses, targets):
+  def per_shard(gaussians, probe, projections, poses, targets):
     def camera_loss(args):
       proj, pose, target = args
       return _render_loss(gaussians, proj, pose, target, camera_template,
-                          config, max_overlaps)
+                          config, max_overlaps, probe=probe)
 
     losses, vis = jax.lax.map(camera_loss, (projections, poses, targets))
     total = jax.lax.psum(jnp.sum(losses), axis_name)
@@ -81,7 +82,7 @@ def data_parallel_loss(mesh: Mesh, camera_template: CameraParams,
 
   return shard_map(
       per_shard, mesh=mesh,
-      in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+      in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
       out_specs=(P(), P()),
       check_rep=False)
 
@@ -95,6 +96,8 @@ def make_train_step(mesh: Mesh, camera_template: CameraParams,
   aggregated (psum) across the whole camera batch."""
   import dataclasses
   config = dataclasses.replace(config, compute_visibility=True)
+  from ..rasterizer.stream_function import probe_width
+  pw = probe_width(config)
   loss_fn = data_parallel_loss(mesh, camera_template, config, max_overlaps,
                                axis_name)
   optimizer = VisibilityAwareLaProp(parameter_groups)
@@ -102,12 +105,18 @@ def make_train_step(mesh: Mesh, camera_template: CameraParams,
   @jax.jit
   def train_step(tensors: Dict[str, jnp.ndarray], opt_state,
                  projections, poses, targets):
-    def wrapped(tensors):
-      gaussians = Gaussians3D(**tensors)
-      return loss_fn(gaussians, projections, poses, targets)
+    n = tensors["position"].shape[0]
+    probe = jnp.zeros((n, pw), tensors["position"].dtype)
 
-    (loss, visibility), grads = jax.value_and_grad(
-        wrapped, has_aux=True)(tensors)
+    def wrapped(tensors, probe):
+      gaussians = Gaussians3D(**tensors)
+      return loss_fn(gaussians, probe, projections, poses, targets)
+
+    (loss, fwd_vis), (grads, g_probe) = jax.value_and_grad(
+        wrapped, argnums=(0, 1), has_aux=True)(tensors, probe)
+    # visibility: forward product on the sorted pipeline, probe cotangent
+    # on the stream pipeline — exactly one of the two is nonzero
+    visibility = fwd_vis + (g_probe[:, 0] if pw else 0.0)
     new_tensors, new_state = optimizer.step(tensors, grads, opt_state,
                                             visibility)
     return new_tensors, new_state, loss

@@ -56,6 +56,9 @@ class RasterOut(NamedTuple):
   image_weight: jnp.ndarray               # (H, W)
   point_heuristic: Optional[jnp.ndarray]  # (N, 2) — via probe gradient
   visibility: Optional[jnp.ndarray]       # (N,)
+  num_overflow: Optional[jnp.ndarray] = None  # () i32 — rows dropped by
+  # static capacity clamps when the op built its own mapping (assert == 0
+  # once per scene family; resize via calibrate_stream / max_overlaps)
 
 
 def _float0(x):
@@ -235,9 +238,39 @@ def rasterize(gaussians2d: jnp.ndarray, depth: jnp.ndarray,
               features: jnp.ndarray, image_size: Tuple[int, int],
               config: RasterConfig, use_depth16: bool = False,
               max_overlaps: Optional[int] = None,
-              heuristic_probe: Optional[jnp.ndarray] = None) -> RasterOut:
-  """Map to tiles + rasterize (reference function.py:133-165)."""
+              heuristic_probe: Optional[jnp.ndarray] = None,
+              probe: Optional[jnp.ndarray] = None) -> RasterOut:
+  """Map to tiles + rasterize (reference function.py:133-165).
+
+  Routes through the tile-stream pipeline when ``config.pipeline`` allows
+  (the fast path), else the sorted-overlap pipeline.  On the stream path
+  per-point outputs are backward-pass products: ``visibility`` is None in
+  the forward (pass a full ``probe`` of width ``probe_width(config)`` —
+  columns [visibility, prune, split] — and read its gradient, or use the
+  renderer's render_with_heuristics helpers); ``heuristic_probe``'s
+  gradient carries (prune_cost, split_score) on both pipelines.
+  """
   assert gaussians2d.shape[0] == depth.shape[0] == features.shape[0]
+  from .stream_function import (probe_width, stream_eligible,
+                                stream_map_with_config,
+                                stream_rasterize_with_mapping)
+
+  if stream_eligible(config, image_size):
+    n = gaussians2d.shape[0]
+    mapping = stream_map_with_config(
+        jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(depth),
+        jax.lax.stop_gradient(features), image_size, config)
+    pw = probe_width(config)
+    if probe is None and heuristic_probe is not None and pw >= 2:
+      # heur probe contract: prepend the visibility column so the caller's
+      # (N, 2) probe still receives (prune, split) through the concat vjp
+      probe = jnp.concatenate(
+          [jnp.zeros((n, pw - 2), gaussians2d.dtype), heuristic_probe], -1)
+    image, image_weight = stream_rasterize_with_mapping(
+        gaussians2d, features, mapping, image_size, config, probe=probe)
+    return RasterOut(image=image, image_weight=image_weight,
+                     point_heuristic=None, visibility=None,
+                     num_overflow=mapping.num_overflow)
 
   mapping = map_to_tiles(
       jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(depth),
@@ -247,4 +280,5 @@ def rasterize(gaussians2d: jnp.ndarray, depth: jnp.ndarray,
 
   return rasterize_with_tiles(
       gaussians2d, features, mapping, image_size=image_size, config=config,
-      heuristic_probe=heuristic_probe)
+      heuristic_probe=heuristic_probe)._replace(
+          num_overflow=mapping.num_overflow)

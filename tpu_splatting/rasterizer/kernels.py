@@ -66,13 +66,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..data_types import RasterConfig
+from ..utils.interpret import use_interpret
 
 _NEG_BIG = -3.0e38   # "log 0" fill that stays finite in f32 arithmetic
 
 
-def use_interpret() -> bool:
-  """Pallas interpret mode on CPU (tests / f64 gradcheck)."""
-  return jax.default_backend() == "cpu"
 
 
 def _mm(a, b, contract=((1,), (0,)), precision=jax.lax.Precision.HIGHEST):

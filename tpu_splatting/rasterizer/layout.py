@@ -43,9 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.interpret import use_interpret
 
-def use_interpret() -> bool:
-  return jax.default_backend() == "cpu"
+
 
 
 # ---------------------------------------------------------------------------

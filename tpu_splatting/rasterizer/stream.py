@@ -19,8 +19,8 @@ the overlap-domain work entirely, based on three measured v5e facts:
 Design:
 
 1. **One N-sized sort** orders points by
-   ``home_tile(14b) | y-class(2b) | x-class(2b) | depth14`` (u32 key), full
-   rows riding as payload.  The x-reach class {C, CR, LCR, LC} encodes
+   ``home_tile(14|16b) | y-class(2b) | x-class(2b) | depth(14|12b)`` (u32
+   key; see depth_bits_for), full rows riding as payload.  The x-reach class {C, CR, LCR, LC} encodes
    which horizontal neighbours a gaussian's AABB reaches, ordered so that
    every (tile, neighbour-home) fetch is one CONTIGUOUS window (classes
    containing R = [1,3); containing L = [2,4); the home tile itself takes
@@ -105,6 +105,8 @@ class StreamMapping:
   slab_cap: int
   w_max: int
   run_cap: int
+  dup_cap: int = 0
+  depth_bits: int = 14
 
   @property
   def num_groups(self) -> int:
@@ -117,11 +119,24 @@ jax.tree_util.register_dataclass(
                  "num_overflow"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
                  "feature_size", "group_width", "num_slabs", "strip_cap",
-                 "slab_cap", "w_max", "run_cap"])
+                 "slab_cap", "w_max", "run_cap", "dup_cap",
+                 "depth_bits"])
 
 
 def _depth16(d):
   return jnp.clip(d * 65535.0, 0.0, 65535.0).astype(jnp.uint32)
+
+
+def depth_bits_for(num_tiles: int) -> int:
+  """Key layout: home | ycls(2) | xcls(2) | depth in one u32.  Up to
+  16,383 tiles the home takes 14 bits and depth 14; beyond (4096 px at
+  tile 16 needs 49,152 tiles) the home widens to 16 bits and depth drops
+  to 12 — quantized-depth compositing order, same contract as the
+  reference's depth16 mode (tile_mapper.py:49-66)."""
+  if num_tiles < (1 << 14):
+    return 14
+  assert num_tiles < (1 << 16), f"tile count {num_tiles} exceeds 16-bit id"
+  return 12
 
 
 # Reach classes (both axes): [C=0, C+pos=1, C+both=2, C+neg=3], so the
@@ -137,26 +152,38 @@ STRIP_SLACK = 512
 @functools.partial(
     jax.jit, static_argnames=("image_size", "config", "num_slabs",
                               "strip_cap", "slab_cap", "group_width",
-                              "w_max", "run_cap", "build_table"))
+                              "w_max", "run_cap", "build_table",
+                              "wide_cap", "dup_cap", "depth_bits"))
 def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
                features: jnp.ndarray, image_size: Tuple[int, int],
                config: RasterConfig, num_slabs: int = 1,
                strip_cap: int = 4096, slab_cap: int = 512,
                group_width: int = 8, w_max: int = 64, run_cap: int = 256,
-               build_table: bool = True) -> StreamMapping:
+               build_table: bool = True, wide_cap: int = 1024,
+               dup_cap: int = 8192, depth_bits: int = 0) -> StreamMapping:
   """Build the stream mapping: ONE N-sized sort + window tables.
 
   depth: (N,) NDC depth in [0, 1]; <= 0 marks culled points.
   num_slabs: depth bands per tile (ceil(max tile rows / slab_cap); use
     calibrate_stream to size).  Capacities are static; overflow is counted.
+  wide_cap / dup_cap: capacities for wide-gaussian handling (splats
+    reaching beyond +-1 tile of home; see the duplication block below).
+    dup_cap=0 disables duplication (wide splats render their 3x3 core and
+    count as overflow).
   """
   n = gaussians.shape[0]
   f_size = features.shape[1]
   ts = config.tile_size
   tw, th = tile_shape(image_size, ts)
   num_tiles = tw * th
-  assert num_tiles < (1 << 14), f"tile count {num_tiles} exceeds 14-bit id"
+  db = depth_bits or depth_bits_for(num_tiles)  # override is test-only
+  assert num_tiles < (1 << (28 - db))
   assert tw % group_width == 0, (tw, group_width)
+  # the kernels' rank key packs the fetch slot into 11 bits below depth14
+  # (stream_kernels._rank_mask); a larger slab would scramble depth order.
+  # Calibration runs (build_table=False) never reach the kernels.
+  assert slab_cap <= 2048 or not build_table, (
+      f"slab_cap {slab_cap} overflows the 11-bit rank-key slot")
   depth = depth.reshape(n)
 
   mean, axis, sigma, alpha = g2d.unpack_g2d(gaussians)
@@ -173,11 +200,61 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   hi_t = jnp.clip(jnp.floor(upper / ts).astype(jnp.int32), 0, max_tile)
 
   home = jnp.clip(jnp.floor(mean / ts).astype(jnp.int32), 0, max_tile)
-  # reach beyond +-1 of home is not representable in the 3x3 fetch — count
-  # as overflow and drop (the calibrated tile_size keeps radius < ts)
+  # WIDE gaussians (reach beyond +-1 of home, not representable in the 3x3
+  # fetch): the main row keeps its clamped classes (covering the 3x3 core)
+  # and the span tiles OUTSIDE the core get DUPLICATE rows with
+  # centre-only classes, fetched exactly by their own home (the reference
+  # expands every overlap the same way, tile_mapper.py:114-146; here only
+  # the rare wide splats pay for it).  Gradients of duplicates are
+  # scatter-added back onto the point in stream_reduce.
   reach_ok = jnp.all((home - lo_t <= 1) & (hi_t - home <= 1), -1)
-  ok = valid & reach_ok
-  num_far = (valid & ~reach_ok).sum(dtype=jnp.int32)
+  wide = valid & ~reach_ok
+  ok = valid
+  if dup_cap > 0:
+    w_idx, = jnp.nonzero(wide, size=wide_cap, fill_value=n)
+    w_idx = w_idx.astype(jnp.int32)   # int64 under x64 (f64 gradcheck runs)
+    present = w_idx < n
+    far_over = jnp.maximum(wide.sum(dtype=jnp.int32) - wide_cap, 0)
+
+    def gpad(x):
+      return jnp.concatenate(
+          [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], 0)[w_idx]
+
+    lo_w, hi_w, home_w = gpad(lo_t), gpad(hi_t), gpad(home)
+    span_full = hi_w - lo_w + 1
+    w_big = config.big_tile_window
+    span_w = jnp.minimum(span_full, w_big)
+    clip_over = (jnp.any(span_full > span_w, -1) & present).sum(
+        dtype=jnp.int32)
+    cnt_w = jnp.where(present, span_w[:, 0] * span_w[:, 1], 0)
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_w, dtype=jnp.int32)])
+    total_dup = off[-1]
+    dup_over = jnp.maximum(total_dup - dup_cap, 0)
+
+    r = jnp.arange(dup_cap, dtype=jnp.int32)
+    w_of = (jnp.searchsorted(off, r, side="right") - 1).astype(jnp.int32)
+    w_of = jnp.clip(w_of, 0, wide_cap - 1)
+    l = r - off[w_of]
+    sx_w = jnp.maximum(span_w[w_of, 0], 1)
+    tx = lo_w[w_of, 0] + l % sx_w
+    ty = lo_w[w_of, 1] + l // sx_w
+    in_core = (jnp.abs(tx - home_w[w_of, 0]) <= 1) & (
+        jnp.abs(ty - home_w[w_of, 1]) <= 1)
+    dup_ok = (r < total_dup) & ~in_core & present[w_of]
+    dup_src = jnp.where(dup_ok, w_idx[w_of], n)
+    depth_ext = jnp.concatenate([depth, jnp.zeros((1,), depth.dtype)])
+    key_dup = ((ty * tw + tx).astype(jnp.uint32) << (db + 4)) | (
+        _depth16(depth_ext[dup_src]) >> (16 - db))
+    key_dup = jnp.where(dup_ok, key_dup, jnp.uint32(0xFFFFFFFF))
+    # dup pids are offset by n (stream_reduce splits main/dup on this);
+    # invalid slots get distinct sentinels past 2n
+    pid_dup = jnp.where(dup_ok, dup_src + n, 2 * n + r)
+    num_far = far_over + clip_over + dup_over
+  else:
+    # duplication disabled: wide splats render their 3x3 core only (their
+    # uncovered span tiles are counted as overflow)
+    num_far = wide.sum(dtype=jnp.int32)
 
   # per-axis reach classes (CLASS_RANGES order): the y class filters the
   # neighbour-band fetch the same way the x class filters homes — without
@@ -193,50 +270,87 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   ycls = reach_cls(1)
   home_id = home[:, 1] * tw + home[:, 0]
 
-  key = ((home_id.astype(jnp.uint32) << 18)
-         | (ycls.astype(jnp.uint32) << 16)
-         | (xcls.astype(jnp.uint32) << 14)
-         | (_depth16(depth) >> 2))
+  key = ((home_id.astype(jnp.uint32) << (db + 4))
+         | (ycls.astype(jnp.uint32) << (db + 2))
+         | (xcls.astype(jnp.uint32) << db)
+         | (_depth16(depth) >> (16 - db)))
   key = jnp.where(ok, key, jnp.uint32(0xFFFFFFFF))
 
   pid = jnp.arange(n, dtype=jnp.int32)
   width = 7 + f_size + 2
+  n_rows = n + dup_cap
+  if dup_cap > 0:
+    key_all = jnp.concatenate([key, key_dup])
+    pid_all = jnp.concatenate([pid, pid_dup])
+  else:
+    key_all, pid_all = key, pid
   if build_table:
-    ops = (key, pid) + tuple(gaussians[:, c] for c in range(7)) + tuple(
-        features.astype(gaussians.dtype)[:, c] for c in range(f_size))
+    if dup_cap > 0:
+      g_ext = jnp.concatenate([gaussians,
+                               jnp.zeros((1, 7), gaussians.dtype)], 0)
+      f_ext = jnp.concatenate(
+          [features, jnp.zeros((1, f_size), features.dtype)],
+          0).astype(gaussians.dtype)
+      g_cols = tuple(jnp.concatenate([gaussians[:, c], g_ext[dup_src, c]])
+                     for c in range(7))
+      f_cols = tuple(jnp.concatenate(
+          [features.astype(gaussians.dtype)[:, c], f_ext[dup_src, c]])
+          for c in range(f_size))
+    else:
+      g_cols = tuple(gaussians[:, c] for c in range(7))
+      f_cols = tuple(features.astype(gaussians.dtype)[:, c]
+                     for c in range(f_size))
+    ops = (key_all, pid_all) + g_cols + f_cols
     s = jax.lax.sort(ops, num_keys=1)
     skey = s[0]
-    cols = list(s[2:]) + [_bitcast_f(s[0].astype(jnp.uint32)),
-                          _bitcast_f(s[1])]
-    table = jnp.stack(cols, -1)                     # (N, 7+F+2)
+    if gaussians.dtype == jnp.float64:
+      # f64 rows (CPU gradcheck runs): u32 keys / i32 pids are EXACT as
+      # f64 values — a bitcast-f32 column would be value-promoted by the
+      # stack and scrambled.  Kernels value-cast them back.
+      key_col = s[0].astype(gaussians.dtype)
+      pid_col = s[1].astype(gaussians.dtype)
+      pad_key = jnp.float64(0xFFFFFFFF)
+    else:
+      key_col = _bitcast_f(s[0].astype(jnp.uint32))
+      pid_col = _bitcast_f(s[1])
+      pad_key = _bitcast_f(jnp.uint32(0xFFFFFFFF))
+    cols = list(s[2:]) + [key_col, pid_col]
+    table = jnp.stack(cols, -1)                     # (N + dup_cap, 7+F+2)
     # pad so any 2-block strip fetch stays in bounds; padding rows are
     # zero (alpha 0 => exact no-ops) with sentinel keys
-    n_pad = ((n + strip_cap - 1) // strip_cap + 2) * strip_cap
-    pad_rows = jnp.zeros((n_pad - n, width), table.dtype)
-    pad_rows = pad_rows.at[:, 7 + f_size].set(
-        _bitcast_f(jnp.uint32(0xFFFFFFFF)))
+    n_pad = ((n_rows + strip_cap - 1) // strip_cap + 2) * strip_cap
+    pad_rows = jnp.zeros((n_pad - n_rows, width), table.dtype)
+    pad_rows = pad_rows.at[:, 7 + f_size].set(pad_key)
     table = jnp.concatenate([table, pad_rows], 0)
   else:  # calibration: edge tables only
-    skey = jax.lax.sort(key)
+    skey = jax.lax.sort(key_all)
     table = jnp.zeros((1, width), gaussians.dtype)
 
   # ---- class/cell edge table --------------------------------------------
-  # d14 depth-quantile cell thresholds: equal quantiles of the valid
-  # depth distribution (per-tile balance comes from the greedy slab plan)
+  # d14 depth-quantile cell thresholds: equal quantiles of the VALID depth
+  # distribution (culled rows would skew thresholds toward 0, unbalancing
+  # every slab) — invalid depths sort to a sentinel above the d14 range and
+  # quantile positions index only the first num-valid entries.  Thresholds
+  # clamp to the 14-bit depth field so a quantile landing on d14=0x3FFF
+  # (far-plane points) can never carry into the xcls bits of the edge key.
   s_edges = num_slabs
-  dq = jnp.sort(_depth16(depth).astype(jnp.uint32) >> 2)
-  qpos = (jnp.arange(1, s_edges, dtype=jnp.int32) * n) // s_edges
-  thr = dq[qpos].astype(jnp.uint32) + 1 if s_edges > 1 else jnp.zeros(
-      (0,), jnp.uint32)
+  if s_edges > 1:
+    dv = _depth16(depth) >> (16 - db)
+    dq = jnp.sort(jnp.where(ok, dv, jnp.uint32(0xFFFF)))
+    n_valid = ok.sum(dtype=jnp.int32)
+    qpos = (jnp.arange(1, s_edges, dtype=jnp.int32) * n_valid) // s_edges
+    thr = jnp.minimum(dq[qpos] + 1, jnp.uint32((1 << db) - 1))
+  else:
+    thr = jnp.zeros((0,), jnp.uint32)
 
   # one searchsorted over all (home, ycls, xcls, cell) edges; window
   # (h, yc, xc, cell) is the CONSECUTIVE flat pair (monotone by key order)
   hc = jnp.arange(num_tiles * 16, dtype=jnp.uint32)
-  base = (hc[:, None] << 14)                        # (16T, 1)
+  base = (hc[:, None] << db)                        # (16T, 1)
   bounds = jnp.concatenate([jnp.zeros((1,), jnp.uint32), thr])
   q = (base | bounds[None, :]).reshape(-1)          # (16T*S,)
   q = jnp.concatenate(
-      [q, jnp.asarray([jnp.uint32(num_tiles * 16) << 14], jnp.uint32)])
+      [q, jnp.asarray([jnp.uint32(num_tiles * 16) << db], jnp.uint32)])
   edges_all = jnp.searchsorted(skey, q, side="left").astype(jnp.int32)
 
   # ---- per-group strip blocks + local edges -----------------------------
@@ -346,27 +460,66 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   hv = jnp.stack(hvalids, 2)[:, :, :, None]          # (G, gw, n_w, 1)
   w_len = jnp.where(hv, w_len, 0)
 
-  # backward slab-buffer destination + run_cap clamp (overflow-counted)
+  # backward slab-buffer destination
   dst_bias = jnp.stack(dsts0, 2)[:, :, :, None]      # (G, gw, n_w, 1)
   w_dst = w_lo + dst_bias
-  run_hi = (jnp.asarray([k for (_, k, _, _) in wlist], jnp.int32)[
-      None, None, :, None] + i_t[None, :, None, None] + 1) * run_cap
-  len_run = jnp.clip(run_hi - w_dst, 0, None)
-  run_over = jnp.maximum(w_len - len_run, 0).sum(dtype=jnp.int32)
-  w_len = jnp.minimum(w_len, len_run)
 
   # flatten band into the lo so the kernel needs no band index
   b_of = jnp.asarray([b for (b, _, _, _) in wlist], jnp.int32)
   w_lof = w_lo + (b_of * scratch_stride)[None, None, :, None]
-  bk_of = jnp.broadcast_to(
-      jnp.asarray(bks, jnp.int32)[None, None, :, None], w_len.shape)
 
-  # compact nonempty windows first; drop (and count) beyond w_max
   move = jnp.moveaxis  # (G, gw, n_w, S) -> (G, gw, S, n_w)
   w_lof = move(w_lof, 3, 2)
   w_len_m = move(w_len, 3, 2)
   w_dst = move(w_dst, 3, 2)
-  bk_of = move(bk_of, 3, 2)
+
+  # ---- merge adjacent windows -------------------------------------------
+  # wlist enumerates each (b, k)'s class windows in KEY order (yc, xc asc),
+  # so consecutive windows of the same (b, k) whose strip intervals abut
+  # (nothing of an unfetched class/cell in between — always true for
+  # single-slab tiles) are ONE contiguous copy.  dst = lo + bias with a
+  # per-(b, k) bias, so gbuf destinations stay contiguous across a merge.
+  # Emission is positional: slot w-1 holds the chain that ended there (or
+  # len 0); the compaction below squeezes the zeros out.
+  lo_sl = [w_lof[..., w] for w in range(n_w)]
+  len_sl = [w_len_m[..., w] for w in range(n_w)]
+  dst_sl = [w_dst[..., w] for w in range(n_w)]
+  e_lo, e_len, e_dst, e_k = [], [], [], []
+  cur_lo, cur_len, cur_dst = lo_sl[0], len_sl[0], dst_sl[0]
+  for w in range(1, n_w):
+    if bks[w] == bks[w - 1]:
+      cont = lo_sl[w] == cur_lo + cur_len
+    else:
+      cont = jnp.zeros(cur_lo.shape, bool)
+    e_lo.append(jnp.where(cont, 0, cur_lo))
+    e_len.append(jnp.where(cont, 0, cur_len))
+    e_dst.append(jnp.where(cont, 0, cur_dst))
+    e_k.append(wlist[w - 1][1])
+    cur_lo = jnp.where(cont, cur_lo, lo_sl[w])
+    cur_len = jnp.where(cont, cur_len + len_sl[w], len_sl[w])
+    cur_dst = jnp.where(cont, cur_dst, dst_sl[w])
+  e_lo.append(cur_lo)
+  e_len.append(cur_len)
+  e_dst.append(cur_dst)
+  e_k.append(wlist[n_w - 1][1])
+  w_lof = jnp.stack(e_lo, -1)                        # (G, gw, S, n_w)
+  w_len_m = jnp.stack(e_len, -1)
+  w_dst = jnp.stack(e_dst, -1)
+  bk_of = jnp.broadcast_to(
+      jnp.asarray(bks, jnp.int32)[None, None, None, :], w_len_m.shape)
+
+  # run_cap clamp (post-merge; overflow-counted) + the kernels' largest
+  # tiered-copy size (windows beyond it would be silently skipped);
+  # calibration passes (build_table=False) keep lengths unclamped so the
+  # measured row statistics are exact
+  run_hi = ((jnp.asarray(e_k, jnp.int32)[None, None, None, :]
+             + i_t[None, :, None, None] + 1) * run_cap)
+  len_run = jnp.clip(run_hi - w_dst, 0, None)
+  cap_len = jnp.minimum(len_run, STRIP_SLACK) if build_table else len_run
+  run_over = jnp.maximum(w_len_m - cap_len, 0).sum(dtype=jnp.int32)
+  w_len_m = jnp.minimum(w_len_m, cap_len)
+
+  # compact nonempty windows first; drop (and count) beyond w_max
   order = jnp.argsort(w_len_m == 0, axis=3, stable=True)
   take = lambda a: jnp.take_along_axis(a, order, axis=3)[..., :w_max]
   d_lo, d_len, d_dst, d_bk = (take(w_lof), take(w_len_m), take(w_dst),
@@ -398,6 +551,8 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
       slab_cap=slab_cap,
       w_max=w_max,
       run_cap=run_cap,
+      dup_cap=dup_cap,
+      depth_bits=db,
   )
 
 
@@ -408,54 +563,77 @@ def calibrate_stream(gaussians, depth, features, image_size,
 
   Returns {num_slabs (cells), strip_cap, slab_cap, w_max, run_cap} such
   that a stream_map built with them reports num_overflow == 0 on this
-  scene (with headroom)."""
-  cells = 4
-  m = stream_map(gaussians, depth, features, image_size, config,
-                 num_slabs=cells, strip_cap=1 << 27, slab_cap=1 << 27,
-                 group_width=group_width, w_max=64, run_cap=1 << 27,
-                 build_table=False)
-  gw = group_width
-  tw, th = m.tiles_wide, m.tiles_high
+  scene (with headroom).
 
-  desc = jax.device_get(m.desc).reshape(m.num_groups, gw, cells, 64, 4)
-  lens = desc[..., 1]
+  Runs entirely on the host CPU (``jax.default_device``): calibration is a
+  sizing tool, and compiling the mapper's measurement variant on the TPU
+  tunnel costs minutes for no benefit.  Two passes: pass 1 with unbounded
+  capacities measures strip/run/row maxima; pass 2 replays the ACTUAL
+  greedy slab plan at the chosen (num_slabs, slab_cap), because the
+  per-slab window count the kernels need (w_max) is much higher when deep
+  tiles split into multiple slabs (class chains break at cell boundaries)
+  than pass 1's fully-merged plan would suggest."""
   import numpy as np
-  tile_rows = lens.sum((2, 3))
-  max_rows = int(tile_rows.max())
-  w_nonempty = (lens > 0).sum(3).sum(2)          # windows per tile (all
-  # cells; a merged slab can hold at most all of them)
-  w_max = int((lens > 0).sum(3).max())
+  cpu = jax.devices("cpu")[0]
+  gw = group_width
 
-  runs = np.asarray(jax.device_get(
-      m.run_starts[1:] - m.run_starts[:-1]))
-  max_run = int(runs.max())
-  # strips: homes gx-1..gx+gw per band
-  csum = np.concatenate([[0], np.cumsum(runs)])
-  t_ids = np.arange(m.num_tiles)
-  bx = t_ids % tw
-  lo_h = np.maximum(t_ids - 1, (t_ids // tw) * tw)
-  hi_h = np.minimum(t_ids + gw + 1, (t_ids // tw) * tw + tw)
-  # per group start tile: bands shift by +-tw; bound by the max over all
-  starts = np.arange(0, m.num_tiles, 1)
-  strip_len = 0
-  for g in range(m.num_groups):
-    gy, gxb = divmod(g, tw // gw)
-    x0 = gxb * gw
+  def measure(num_slabs, s_cap, c_cap, r_cap):
+    m = stream_map(gaussians, depth, features, image_size, config,
+                   num_slabs=num_slabs, strip_cap=s_cap, slab_cap=c_cap,
+                   group_width=gw, w_max=64, run_cap=r_cap,
+                   build_table=False)
+    desc = np.asarray(jax.device_get(m.desc)).reshape(
+        m.num_groups, gw, num_slabs, 64, 4)
+    return m, desc[..., 1]
+
+  with jax.default_device(cpu):
+    gaussians = jax.device_put(gaussians, cpu)
+    depth = jax.device_put(depth, cpu)
+    features = jax.device_put(features, cpu)
+
+    # ---- pass 1: unbounded capacities -> row/strip/run maxima ----------
+    m, lens = measure(4, 1 << 27, 1 << 27, 1 << 27)
+    tw, th = m.tiles_wide, m.tiles_high
+    max_rows = int(lens.sum((2, 3)).max())
+
+    runs = np.asarray(jax.device_get(
+        m.run_starts[1:] - m.run_starts[:-1]))
+    max_run = int(runs.max())
+    # strips: homes gx-1..gx+gw per band, vectorised over (group, band)
+    csum = np.concatenate([[0], np.cumsum(runs)])
+    groups_x = tw // gw
+    gids = np.arange(m.num_groups)
+    gy = gids // groups_x
+    x0 = (gids % groups_x) * gw
+    strip_len = 0
     for b in range(3):
       band = gy + b - 1
-      if 0 <= band < th:
-        a = band * tw + max(x0 - 1, 0)
-        z = band * tw + min(x0 + gw + 1, tw)
-        strip_len = max(strip_len, int(csum[z] - csum[a]))
+      in_img = (band >= 0) & (band < th)
+      a = band * tw + np.maximum(x0 - 1, 0)
+      z = band * tw + np.minimum(x0 + gw + 1, tw)
+      blens = np.where(in_img, csum[np.where(in_img, z, 0)]
+                       - csum[np.where(in_img, a, 0)], 0)
+      strip_len = max(strip_len, int(blens.max()))
 
-  num_slabs = min(12, max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
-  strip_cap = 1024
-  while strip_cap < strip_len * 1.1:
-    strip_cap *= 2
-  run_cap = 64
-  while run_cap < max_run:
-    run_cap *= 2
+    strip_cap = 1024
+    while strip_cap < strip_len * 1.1:
+      strip_cap *= 2
+    run_cap = 64
+    while run_cap < max_run:
+      run_cap *= 2
+
+    # ---- pass 2: replay the actual plan at (num_slabs, slab_cap) -------
+    num_slabs = min(12, max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
+    for _ in range(3):
+      _, lens2 = measure(num_slabs, 1 << 27, slab_cap, 1 << 27)
+      max_slab_rows = int(lens2.sum(3).max())
+      if max_slab_rows <= slab_cap or num_slabs >= 12:
+        break
+      num_slabs = min(12, num_slabs + 2)   # finer cells split hot slabs
+    w_max = int((lens2 > 0).sum(3).max())
+
   return {"num_slabs": num_slabs, "strip_cap": strip_cap,
           "slab_cap": slab_cap, "w_max": min(64, w_max + 2),
           "run_cap": run_cap, "max_tile_rows": max_rows,
-          "max_strip_rows": strip_len, "max_run": max_run}
+          "max_strip_rows": strip_len, "max_run": max_run,
+          "max_slab_rows": max_slab_rows}

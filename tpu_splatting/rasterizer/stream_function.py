@@ -1,6 +1,6 @@
 """Differentiable rasterization over the tile-stream pipeline.
 
-``stream_rasterize`` is the drop-in equivalent of
+``stream_rasterize_with_mapping`` is the drop-in equivalent of
 ``rasterize_with_tiles`` (function.py) for the stream mapping: a
 custom_vjp whose forward is ONE grouped Pallas kernel over the
 home-sorted table and whose backward reduces per-class gradient slabs
@@ -8,8 +8,15 @@ with a single (N,)-row gather + one N-sized sort back to the caller's
 point order — the overlap-domain sorts and the segment-sum of the sorted
 pipeline do not exist here (see stream.py for the design rationale).
 
-v1 scope: alpha-blending mode, no antialias, no visibility/heuristic
-outputs (those configs route to the sorted pipeline in function.py).
+Full feature scope (v2): alpha blending AND quantile/median mode,
+antialias, visibility + point heuristics.  Because per-point outputs
+require the backward's slab reduction, visibility/heuristics surface as
+the COTANGENT of a zero-valued probe input (same contract as the sorted
+pipeline's ``heuristic_probe``, function.py:23-29, extended with a
+leading visibility column): computing them costs one backward pass, which
+every training step runs anyway.  Quantile mode is forward-only, exactly
+like the sorted pipeline (the reference's no-blending backward is
+untested/wrong — see function.py:31-36).
 """
 
 from __future__ import annotations
@@ -23,7 +30,7 @@ import numpy as np
 
 from ..data_types import RasterConfig
 from .stream import StreamMapping, stream_map
-from .stream_kernels import stream_backward, stream_forward
+from .stream_kernels import slab_width, stream_backward, stream_forward
 
 
 def _float0(x):
@@ -75,6 +82,9 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
       tile_x = hx + 1 - k
       valid = band_ok & (tile_x >= 0) & (tile_x < tw)
       shift = ((b - 1) * tw + (k - 1)) * run_cap
+      if abs(shift) >= r_rows:
+        continue  # tiny grids: the whole slab shifts out of range (its
+        # validity mask is all-False anyway)
       for c in range(slabw):
         col = gout[:, k * run_cap:(k + gw) * run_cap, c0 + c]
         col = col.reshape(r_rows).astype(jnp.float32)
@@ -87,18 +97,40 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
         acc_cols[c] = acc_cols[c] + jnp.where(valid, col, 0.0)
 
   # --- compact away run padding (stable sort by is-padding) -------------
+  n_rows = n + mapping.dup_cap
   run_lens = jnp.minimum(mapping.run_starts[1:] - mapping.run_starts[:-1],
                          run_cap)
   pad_row = (row % run_cap) >= jnp.repeat(run_lens, run_cap)
   ops = (pad_row.astype(jnp.int32),) + tuple(acc_cols)
   s = jax.lax.sort(ops, num_keys=1, is_stable=True)
-  g_home = jnp.stack(s[1:], -1)[:n]      # (N, slabw), home-sorted order
+  m = min(n_rows, r_rows)   # valid rows always fit in the runs (<= R);
+  # tiny scenes can have n + dup_cap > R — the excess table rows are all
+  # sentinels (culled / unused dup slots) with zero gradient
+  g_home = jnp.stack(s[1:], -1)[:m]       # (m, slabw), home order
+  if m < n_rows:
+    g_home = jnp.concatenate(
+        [g_home, jnp.zeros((n_rows - m, slabw), g_home.dtype)], 0)
 
   # --- inverse permutation: home order -> caller's point order ----------
-  pid = _bitcast_i(mapping.table[:n, -1])
+  # Main rows carry pids 0..n-1 (each exactly once); wide-splat duplicate
+  # rows carry pid + n (invalid slots > 2n), so after the pid sort the
+  # first n rows ARE the per-point gradients and the dup tail
+  # scatter-adds onto them (few rows — wide splats are rare).
+  pid_col = mapping.table[:n_rows, -1]
+  if pid_col.dtype == jnp.float64:   # exact value storage (see stream_map)
+    pid = pid_col.astype(jnp.int32)
+  else:
+    pid = _bitcast_i(pid_col)
   ops2 = (pid,) + tuple(g_home[:, c] for c in range(slabw))
   s2 = jax.lax.sort(ops2, num_keys=1)
-  return jnp.stack(s2[1:], -1)
+  g_pts = jnp.stack(s2[1:], -1)[:n]
+  if mapping.dup_cap > 0:
+    dpid = s2[0][n:n_rows] - n
+    dval = (dpid >= 0) & (dpid < n)
+    dgr = jnp.stack(s2[1:], -1)[n:n_rows]
+    g_pts = g_pts.at[jnp.clip(dpid, 0, n - 1)].add(
+        jnp.where(dval[:, None], dgr, 0.0))
+  return g_pts
 
 
 def detile(image_tiled: jnp.ndarray, tiles_wide: int, tiles_high: int,
@@ -124,28 +156,90 @@ def entile(image: jnp.ndarray, tiles_wide: int, tiles_high: int,
       tiles_high * tiles_wide, c, tile_size * tile_size)
 
 
+def probe_width(config: RasterConfig) -> int:
+  """Columns of the probe cotangent: [visibility][, prune, split]."""
+  heur = config.compute_point_heuristic
+  with_vis = heur or config.compute_visibility
+  return (1 if with_vis else 0) + (2 if heur else 0)
+
+
+def auto_group_width(tiles_wide: int, config: RasterConfig) -> int:
+  """The group width the renderer uses: config override or the widest of
+  (8, 4, 2, 1) dividing tiles_wide."""
+  gw = config.stream_group_width
+  if gw:
+    assert tiles_wide % gw == 0, (tiles_wide, gw)
+    return gw
+  for g in (8, 4, 2, 1):
+    if tiles_wide % g == 0:
+      return g
+  raise AssertionError
+
+
+def stream_eligible(config: RasterConfig, image_size) -> bool:
+  """Whether the stream pipeline can serve this render.
+
+  Limits: 16-bit home-tile ids (65,535 tiles — beyond 16,383 the depth
+  key drops to 12 bits, see stream.depth_bits_for).  ``pipeline="stream"``
+  asserts instead of falling back."""
+  if config.pipeline == "sorted":
+    return False
+  from ..mapper.tile_mapper import tile_shape
+  tw, th = tile_shape(image_size, config.tile_size)
+  ok = tw * th < (1 << 16)
+  if config.pipeline == "stream":
+    assert ok, (f"stream pipeline cannot address {tw * th} tiles "
+                f"(16-bit home id); raise tile_size or use sorted")
+    return True
+  return ok
+
+
+def stream_map_with_config(gaussians2d, depth, features, image_size,
+                           config: RasterConfig) -> StreamMapping:
+  """stream_map with capacities taken from the RasterConfig knobs (the
+  renderer path; size them with calibrate_stream + dataclasses.replace)."""
+  from ..mapper.tile_mapper import tile_shape
+  tw, _ = tile_shape(image_size, config.tile_size)
+  return stream_map(
+      gaussians2d, depth, features, image_size, config,
+      num_slabs=config.stream_num_slabs,
+      strip_cap=config.stream_strip_cap,
+      slab_cap=config.stream_slab_cap,
+      group_width=auto_group_width(tw, config),
+      w_max=config.stream_w_max,
+      run_cap=config.stream_run_cap,
+      wide_cap=config.stream_wide_cap,
+      dup_cap=config.stream_dup_cap)
+
+
 @lru_cache(maxsize=None)
 def _stream_function(config: RasterConfig, run_cap: int):
-  """Cached custom_vjp over the stream kernels (static config/run_cap)."""
+  """Cached custom_vjp over the stream kernels (static config/run_cap).
+
+  ``probe`` is a zero-valued (N, probe_width) input whose cotangent is
+  defined as the per-point [visibility, prune_cost, split_score] columns
+  the backward kernel computes alongside the gradients."""
 
   @jax.custom_vjp
-  def raster(gaussians2d, features, mapping):
+  def raster(gaussians2d, features, probe, mapping):
     return stream_forward(mapping, config)
 
-  def fwd(gaussians2d, features, mapping):
+  def fwd(gaussians2d, features, probe, mapping):
     image_tiled = stream_forward(mapping, config)
     return image_tiled, (image_tiled, mapping)
 
   def bwd(residuals, g_image_tiled):
     image_tiled, mapping = residuals
     f = mapping.feature_size
-    slabw = 7 + f + (2 if config.compute_point_heuristic else 0)
+    slabw = slab_width(config, f)
     gout = stream_backward(mapping, image_tiled, g_image_tiled, config,
                            run_cap)
     reduced = stream_reduce(gout, mapping, run_cap, slabw)
     g_g2d = reduced[:, :7]
     g_feats = reduced[:, 7:7 + f]
+    g_probe = reduced[:, 7 + f:]
     return (g_g2d, g_feats.astype(g_g2d.dtype),
+            g_probe.astype(g_g2d.dtype),
             jax.tree.map(_float0, mapping))
 
   raster.defvjp(fwd, bwd)
@@ -155,18 +249,52 @@ def _stream_function(config: RasterConfig, run_cap: int):
 def stream_rasterize_with_mapping(
     gaussians2d: jnp.ndarray, features: jnp.ndarray,
     mapping: StreamMapping, image_size: Tuple[int, int],
-    config: RasterConfig, run_cap: int = 0):
-  """Rasterize with a precomputed stream mapping.  Returns
-  (image (H, W, F), image_weight (H, W)).
+    config: RasterConfig, run_cap: int = 0,
+    probe: Optional[jnp.ndarray] = None, tiled: bool = False):
+  """Rasterize with a precomputed stream mapping.
+
+  Returns (image (H, W, F), image_weight (H, W)) — or the raw
+  (T, F+1, PIX) tiled image when ``tiled`` (use ``entile`` on the loss
+  target and ``tile_mask`` for the valid-pixel mask to keep the whole
+  fwd+bwd in tile layout; ``detile`` recovers the (H, W, C) image).
 
   The mapping's sorted table is the data source; callers must pass the
   same arrays the mapping was built from (gradients are defined w.r.t.
-  them, like the sorted pipeline's payload path)."""
-  assert config.use_alpha_blending and not config.antialias, (
-      "stream pipeline v1 supports plain alpha blending only")
+  them, like the sorted pipeline's payload path).
+
+  ``probe``: zero-valued (N, probe_width(config)) array; its gradient
+  carries per-point [visibility][, prune_cost, split_score].
+
+  Quantile mode (use_alpha_blending=False) is forward-only: outputs are
+  gradient-stopped, matching the sorted pipeline (function.py:31-36).
+  """
+  # the mapping's descriptors (gbuf_dst, run_hi clamps) were computed with
+  # mapping.run_cap inside stream_map — any other stride desynchronises the
+  # backward's slab-buffer layout and silently corrupts gradients
+  assert run_cap in (0, mapping.run_cap), (run_cap, mapping.run_cap)
   f = features.shape[1]
-  raster = _stream_function(config, run_cap or mapping.run_cap)
-  image_tiled = raster(gaussians2d, features, mapping)
+
+  if not config.use_alpha_blending:
+    image_tiled = jax.lax.stop_gradient(stream_forward(mapping, config))
+  else:
+    if probe is None:
+      probe = jnp.zeros((mapping.num_points, probe_width(config)),
+                        gaussians2d.dtype)
+    raster = _stream_function(config, mapping.run_cap)
+    image_tiled = raster(gaussians2d, features, probe, mapping)
+
+  if tiled:
+    return image_tiled
   full = detile(image_tiled, mapping.tiles_wide, mapping.tiles_high,
                 config.tile_size, image_size)
   return full[..., :f], full[..., f]
+
+
+def tile_mask(image_size: Tuple[int, int], tiles_wide: int,
+              tiles_high: int, tile_size: int) -> jnp.ndarray:
+  """(T, 1, PIX) f32 mask of pixels inside the image — for computing
+  losses directly in tile layout (pad pixels carry rendered content but
+  must not contribute)."""
+  w, h = image_size
+  ones = jnp.ones((h, w, 1), jnp.float32)
+  return entile(ones, tiles_wide, tiles_high, tile_size)

@@ -47,14 +47,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..data_types import RasterConfig
+from ..utils.interpret import use_interpret
+from .kernels import _antialias_grads
 from .stream import STRIP_SLACK, StreamMapping
+
+
+def slab_width(config: RasterConfig, f: int) -> int:
+  """Columns of the backward's per-row gradient slab: 7 packed-gaussian
+  grads + F feature grads [+ visibility] [+ prune_cost, split_score]."""
+  heur = config.compute_point_heuristic
+  with_vis = heur or config.compute_visibility
+  return 7 + f + (1 if with_vis else 0) + (2 if heur else 0)
 
 _NEG_BIG = -3.0e38
 _TIERS = (64, 512)        # window-copy sizes; last == STRIP_SLACK
 
 
-def use_interpret() -> bool:
-  return jax.default_backend() == "cpu"
 
 
 def _log_cut(config: RasterConfig) -> float:
@@ -156,13 +164,16 @@ def _assemble(desc_ref, strip_ref, rows_ref, i, s, *, s_edges: int,
   return cursor, meta
 
 
-def _rank_mask(rows_t, cnt, c_cap: int):
+def _rank_mask(rows_t, cnt, c_cap: int, depth_bits: int = 14):
   """(C, C) bf16 mask M[i,j] = depth-rank_i < depth-rank_j, fetch order.
 
-  Rank key = depth14 << 11 | slot (distinct; ties broken by fetch slot);
+  Rank key = depth << 11 | slot (distinct; ties broken by fetch slot);
   rows at/after cnt rank last (their alpha is masked to 0 anyway)."""
-  key_u = jax.lax.bitcast_convert_type(rows_t[-2:-1, :], jnp.int32)
-  d14 = key_u & 0x3FFF
+  if rows_t.dtype == jnp.float64:
+    key_u = rows_t[-2:-1, :].astype(jnp.int64).astype(jnp.int32)
+  else:
+    key_u = jax.lax.bitcast_convert_type(rows_t[-2:-1, :], jnp.int32)
+  d14 = key_u & ((1 << depth_bits) - 1)
   slot = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
   rk = jnp.where(slot < cnt, (d14 << 11) | slot, jnp.int32(2 ** 31 - 1))
   rk_col = jnp.transpose(rk)                     # (C, 1)
@@ -181,29 +192,72 @@ def _geometry(rows_t, ox, oy):
   return mlx, mly, ax, ay, sx, sy, pa
 
 
-def _alpha(geo, basis6, cnt, config, c_cap: int):
-  """(C, PIX) clamped/thresholded compositing alpha + raw alpha.
+def _s_sig(x, s):
+  z = x / s
+  return 1.0 / (1.0 + jnp.exp(-1.6 * z - 0.07 * z * z * z))
 
-  One (6,C)x(6,PIX) quadratic-form matmul + one exp; log point_alpha is
-  folded into the constant term (all-zero rows give alpha ~ 0)."""
+
+def _antialias_pdf(tu, tv, sx_c, sy_c):
+  """Pixel-integrated pdf via the approximate Gaussian CDF S_sig
+  (reference taichi_lib/generic.py:347-357); tu/tv are UNSCALED
+  rotated-frame coords (C, PIX), sx_c/sy_c (C, 1) columns."""
+  ix = sx_c * (_s_sig(tu + 0.5, sx_c) - _s_sig(tu - 0.5, sx_c))
+  iy = sy_c * (_s_sig(tv + 0.5, sy_c) - _s_sig(tv - 0.5, sy_c))
+  return 2.0 * jnp.pi * ix * iy
+
+
+def _uv_rows(geo, scale: bool):
+  """(3, C) linear forms of the rotated-frame coords: u = lu . [px py 1]
+  (scaled by 1/sigma when ``scale``, unscaled for the S_sig form)."""
+  mlx, mly, ax, ay, sx, sy, _ = geo
+  if scale:
+    isx = 1.0 / jnp.maximum(sx, 1e-12)
+    isy = 1.0 / jnp.maximum(sy, 1e-12)
+  else:
+    isx = isy = jnp.ones_like(sx)
+  lu = jnp.concatenate(
+      [ax * isx, ay * isx, -(mlx * ax + mly * ay) * isx], 0)
+  lv = jnp.concatenate(
+      [-ay * isy, ax * isy, (mlx * ay - mly * ax) * isy], 0)
+  return lu, lv
+
+
+def _alpha(geo, basis3, basis6, cnt, config, c_cap: int):
+  """(C, PIX) clamped/thresholded compositing alpha + raw alpha (+ the
+  antialias aux (tu, tv) when config.antialias).
+
+  Quadratic form: one (6,C)x(6,PIX) matmul + one exp; log point_alpha is
+  folded into the constant term (all-zero rows give alpha ~ 0).
+  Antialias: two (3,C)x(3,PIX) matmuls + the S_sig integral
+  (reference generic.py:340-404)."""
   mlx, mly, ax, ay, sx, sy, pa = geo
-  isx2 = 1.0 / jnp.maximum(sx * sx, 1e-24)
-  isy2 = 1.0 / jnp.maximum(sy * sy, 1e-24)
-  a2 = ax * ax
-  b2 = ay * ay
-  cxx = -0.5 * (a2 * isx2 + b2 * isy2)
-  cyy = -0.5 * (b2 * isx2 + a2 * isy2)
-  cxy = -(ax * ay * (isx2 - isy2))
-  c_px = -(2.0 * cxx * mlx + cxy * mly)
-  c_py = -(2.0 * cyy * mly + cxy * mlx)
-  c_1 = (cxx * mlx * mlx + cxy * mlx * mly + cyy * mly * mly
-         + jnp.log(jnp.maximum(pa, 1e-30)))
-  lq = jnp.concatenate([cxx, cxy, cyy, c_px, c_py, c_1], 0)   # (6, C)
-  a_raw = jnp.exp(_mm2(lq, basis6, ((0,), (0,))))             # (C, PIX)
   slot_col = jax.lax.broadcasted_iota(jnp.int32, (c_cap, 1), 0)
+  if config.antialias:
+    lu, lv = _uv_rows(geo, scale=False)
+    tu = _mm2(lu, basis3, ((0,), (0,)))                       # (C, PIX)
+    tv = _mm2(lv, basis3, ((0,), (0,)))
+    sx_c = jnp.maximum(jnp.transpose(sx), 1e-12)              # (C, 1)
+    sy_c = jnp.maximum(jnp.transpose(sy), 1e-12)
+    a_raw = jnp.transpose(pa) * _antialias_pdf(tu, tv, sx_c, sy_c)
+    aux = (tu, tv)
+  else:
+    isx2 = 1.0 / jnp.maximum(sx * sx, 1e-24)
+    isy2 = 1.0 / jnp.maximum(sy * sy, 1e-24)
+    a2 = ax * ax
+    b2 = ay * ay
+    cxx = -0.5 * (a2 * isx2 + b2 * isy2)
+    cyy = -0.5 * (b2 * isx2 + a2 * isy2)
+    cxy = -(ax * ay * (isx2 - isy2))
+    c_px = -(2.0 * cxx * mlx + cxy * mly)
+    c_py = -(2.0 * cyy * mly + cxy * mlx)
+    c_1 = (cxx * mlx * mlx + cxy * mlx * mly + cyy * mly * mly
+           + jnp.log(jnp.maximum(pa, 1e-30)))
+    lq = jnp.concatenate([cxx, cxy, cyy, c_px, c_py, c_1], 0)  # (6, C)
+    a_raw = jnp.exp(_mm2(lq, basis6, ((0,), (0,))))            # (C, PIX)
+    aux = None
   ok = (a_raw > config.alpha_threshold) & (slot_col < cnt)
   a = jnp.where(ok, jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
-  return a, a_raw
+  return a, a_raw, aux
 
 
 # ---------------------------------------------------------------------------
@@ -215,11 +269,17 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 img_ref, cnt_ref, strip_ref, rows_ref, carry_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
-                w_max: int, ablate: str = ""):
+                w_max: int, depth_bits: int = 14, ablate: str = ""):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
-  lcut = _log_cut(config)
+  if config.use_alpha_blending:
+    lcut = _log_cut(config)
+  else:
+    # quantile mode: skip once transmittance is below the selection
+    # threshold everywhere (no selection can fire past it)
+    lcut = (math.log(config.saturate_threshold)
+            if config.saturate_threshold > 0.0 else _NEG_BIG)
   ts = config.tile_size
 
   stride = 2 * s_cap + STRIP_SLACK
@@ -254,7 +314,7 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
         rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
-        a, _ = _alpha(geo, basis6, cnt, config, c_cap)
+        a, _, _ = _alpha(geo, basis3, basis6, cnt, config, c_cap)
 
         l = jnp.log1p(-a)                                   # (C, PIX)
         if ablate == "no_mask":
@@ -268,31 +328,58 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
           lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                             carry_ref[...])
         else:
-          mask_lt = _rank_mask(rows_t, cnt, c_cap)          # (C, C)
+          mask_lt = _rank_mask(rows_t, cnt, c_cap, depth_bits)  # (C, C)
           lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                             carry_ref[...])
           lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
         t = jnp.exp(lt)
-        w = jnp.where(lt > lcut, a * t, 0.0)
-
-        feats_t = rows_t[7:7 + f, :]                        # (F, C)
-        frow = jnp.concatenate(
-            [feats_t, jnp.ones((1, c_cap), dtype)], 0)      # (F+1, C)
-        contrib = _mm(frow, w, ((1,), (0,)),
-                      precision=jax.lax.Precision.DEFAULT)  # (F+1, PIX)
-
-        @pl.when(first)
-        def _():
-          img_ref[i, :, :] = contrib
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-          img_ref[i, :, :] += contrib
-
         lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
-        carry_ref[...] = jnp.maximum(
-            lt_end,
-            jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
+
+        if config.use_alpha_blending:
+          w = jnp.where(lt > lcut, a * t, 0.0)
+          feats_t = rows_t[7:7 + f, :]                      # (F, C)
+          frow = jnp.concatenate(
+              [feats_t, jnp.ones((1, c_cap), dtype)], 0)    # (F+1, C)
+          contrib = _mm(frow, w, ((1,), (0,)),
+                        precision=jax.lax.Precision.DEFAULT)  # (F+1, PIX)
+
+          @pl.when(first)
+          def _():
+            img_ref[i, :, :] = contrib
+
+          @pl.when(jnp.logical_not(first))
+          def _():
+            img_ref[i, :, :] += contrib
+
+          carry_ref[...] = jnp.maximum(
+              lt_end,
+              jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0,
+                      keepdims=True))
+        else:
+          # quantile mode (reference forward.py:105-112; sorted-pipeline
+          # equivalent kernels.py:287-296): select the feature of the
+          # first point where inclusive transmittance crosses
+          # saturate_threshold; alpha channel = hit mask.  The carry stays
+          # the exact running log transmittance — once every pixel has
+          # crossed, max(carry) <= lcut = log(threshold) and the slab skip
+          # fires (no further sel can trigger).
+          thr = config.saturate_threshold
+          t_incl = t * (1.0 - a)
+          sel = ((t_incl <= thr) & (t > thr)).astype(dtype)   # (C, PIX)
+          feats_t = rows_t[7:7 + f, :]
+          contrib = _mm(feats_t, sel, ((1,), (0,)),
+                        precision=jax.lax.Precision.DEFAULT)  # (F, PIX)
+
+          @pl.when(first)
+          def _():
+            img_ref[i, 0:f, :] = contrib
+
+          @pl.when(jnp.logical_not(first))
+          def _():
+            img_ref[i, 0:f, :] += contrib
+
+          img_ref[i, f:f + 1, :] = (lt_end < 0.0).astype(dtype)
+          carry_ref[...] = lt_end
 
       # empty plan slots (tile fits in fewer merged slabs) skip outright;
       # the first slab still must run to initialise image + carries
@@ -336,7 +423,8 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
   kernel = functools.partial(
       _fwd_kernel, config=config, f=f, gw=gw, tw=mapping.tiles_wide,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
-      s_cap=s_cap, w_max=mapping.w_max, ablate=ablate)
+      s_cap=s_cap, w_max=mapping.w_max, depth_bits=mapping.depth_bits,
+      ablate=ablate)
 
   def strip_spec(b, which):
     # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
@@ -396,12 +484,14 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 strip_ref, rows_ref, carry_ref, grows_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int, th: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
-                run_cap: int, slabw: int, w_max: int):
+                run_cap: int, slabw: int, w_max: int,
+                depth_bits: int = 14):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
   lcut = _log_cut(config)
   heur = config.compute_point_heuristic
+  with_vis = heur or config.compute_visibility
   ts = config.tile_size
 
   stride = 2 * s_cap + STRIP_SLACK
@@ -433,10 +523,10 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
         mlx, mly, ax, ay, sx, sy, pa = geo
-        a, a_raw = _alpha(geo, basis6, cnt, config, c_cap)
+        a, a_raw, aa_aux = _alpha(geo, basis3, basis6, cnt, config, c_cap)
 
         l = jnp.log1p(-a)
-        mask_lt = _rank_mask(rows_t, cnt, c_cap)
+        mask_lt = _rank_mask(rows_t, cnt, c_cap, depth_bits)
         lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                           carry_ref[0:1, :])
         lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
@@ -458,57 +548,99 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         # 1/(1-a) = exp(-log1p(-a)): reuses l, cheaper than a VPU divide
         alpha_grad = (t * gf - s_i * jnp.exp(-l)) * live    # (C, PIX)
 
-        # per-point gradients, factored through pixel moments on the MXU;
-        # transposed contractions keep results lane-major (k, C)
+        # per-point gradients (reference backward.py:180-194)
         z0 = jnp.where(a_raw < config.clamp_max_alpha,
                        alpha_grad * a_raw, 0.0)
-        isx = 1.0 / jnp.maximum(sx, 1e-12)
-        isy = 1.0 / jnp.maximum(sy, 1e-12)
-        lu = jnp.concatenate(
-            [ax * isx, ay * isx, -(mlx * ax + mly * ay) * isx], 0)  # (3,C)
-        lv = jnp.concatenate(
-            [-ay * isy, ax * isy, (mlx * ay - mly * ax) * isy], 0)
-        u = _mm2(lu, basis3, ((0,), (0,)))                  # (C, PIX)
-        v = _mm2(lv, basis3, ((0,), (0,)))
-        zu = z0 * u
-        zv = z0 * v
-        mu = _mm1(basis3, zu, ((1,), (1,)))                 # (3, C)
-        mv = _mm1(basis3, zv, ((1,), (1,)))
-
-        su_px, su_py, su = mu[0:1], mu[1:2], mu[2:3]
-        sv_px, sv_py, sv = mv[0:1], mv[1:2], mv[2:3]
-
-        g_mx = ax * isx * su - ay * isy * sv
-        g_my = ay * isx * su + ax * isy * sv
-        su_dx = su_px - mlx * su
-        su_dy = su_py - mly * su
-        sv_dx = sv_px - mlx * sv
-        sv_dy = sv_py - mly * sv
-        g_ax = -isx * su_dx - isy * sv_dy
-        g_ay = -isx * su_dy + isy * sv_dx
-        suu = lu[0:1] * su_px + lu[1:2] * su_py + lu[2:3] * su
-        svv = lv[0:1] * sv_px + lv[1:2] * sv_py + lv[2:3] * sv
-        g_sx = isx * suu
-        g_sy = isy * svv
-
-        z0s = _mm1(ones_pix, z0, ((1,), (1,)))              # (1, C)
-        g_pa = z0s / jnp.maximum(pa, 1e-20)
         g_feats = _mm1(w, gimg[:f], ((1,), (1,)))           # (C, F)
 
-        cols_t = [g_mx, g_my, g_ax, g_ay, g_sx, g_sy, g_pa]
-        if heur:
-          aag_h = pa * alpha_grad
-          prune = _mm1(ones_pix, aag_h * aag_h, ((1,), (1,)))
-          dmx_u = u * (isx * ax) - v * (isy * ay)
-          dmy_u = u * (isx * ay) + v * (isy * ax)
-          split = _mm1(ones_pix,
-                       jnp.abs(z0 * dmx_u) + jnp.abs(z0 * dmy_u),
-                       ((1,), (1,)))
-          cols_t += [prune, split]
-        gt = jnp.concatenate(cols_t, 0)                     # (slabw-F, C)
-        parts = [jnp.transpose(gt[:7, :]), g_feats]
-        if heur:
-          parts.append(jnp.transpose(gt[7:, :]))
+        if config.antialias:
+          # antialias gradients don't factor through u/v moments — use the
+          # closed forms (reference generic.py:371-404) as explicit
+          # (C, PIX) chains and per-row pixel sums, like the sorted
+          # pipeline's kernels.py:482-493
+          tu, tv = aa_aux
+          clamp_live = (a_raw < config.clamp_max_alpha).astype(dtype)
+          pa_c = jnp.transpose(pa)                          # (C, 1)
+          ax_c = jnp.transpose(ax)
+          ay_c = jnp.transpose(ay)
+          sx_c = jnp.maximum(jnp.transpose(sx), 1e-12)
+          sy_c = jnp.maximum(jnp.transpose(sy), 1e-12)
+          dx = pxl - jnp.transpose(mlx)                     # (C, PIX)
+          dy = pyl - jnp.transpose(mly)
+          aag = pa_c * alpha_grad * clamp_live
+          dmx, dmy, dax, day, dsx, dsy = _antialias_grads(
+              tu, tv, sx_c, sy_c, dx, dy, ax_c, ay_c)
+          cols = [jnp.sum(aag * dmx, 1, keepdims=True),
+                  jnp.sum(aag * dmy, 1, keepdims=True),
+                  jnp.sum(aag * dax, 1, keepdims=True),
+                  jnp.sum(aag * day, 1, keepdims=True),
+                  jnp.sum(aag * dsx, 1, keepdims=True),
+                  jnp.sum(aag * dsy, 1, keepdims=True),
+                  jnp.sum(z0, 1, keepdims=True)
+                  / jnp.maximum(pa_c, 1e-20)]
+          parts = [jnp.concatenate(cols, -1), g_feats]      # (C, 7), (C, F)
+          if with_vis:
+            parts.append(jnp.sum(w, 1, keepdims=True))
+          if heur:
+            aag_h = pa_c * alpha_grad
+            parts.append(jnp.concatenate(
+                [jnp.sum(aag_h * aag_h, 1, keepdims=True),
+                 jnp.sum(jnp.abs(aag * dmx) + jnp.abs(aag * dmy), 1,
+                         keepdims=True)], -1))
+        else:
+          # quadratic path: factored through pixel moments on the MXU;
+          # transposed contractions keep results lane-major (k, C)
+          isx = 1.0 / jnp.maximum(sx, 1e-12)
+          isy = 1.0 / jnp.maximum(sy, 1e-12)
+          lu, lv = _uv_rows(geo, scale=True)                # (3, C)
+          u = _mm2(lu, basis3, ((0,), (0,)))                # (C, PIX)
+          v = _mm2(lv, basis3, ((0,), (0,)))
+          zu = z0 * u
+          zv = z0 * v
+          mu = _mm1(basis3, zu, ((1,), (1,)))               # (3, C)
+          mv = _mm1(basis3, zv, ((1,), (1,)))
+
+          su_px, su_py, su = mu[0:1], mu[1:2], mu[2:3]
+          sv_px, sv_py, sv = mv[0:1], mv[1:2], mv[2:3]
+
+          g_mx = ax * isx * su - ay * isy * sv
+          g_my = ay * isx * su + ax * isy * sv
+          su_dx = su_px - mlx * su
+          su_dy = su_py - mly * su
+          sv_dx = sv_px - mlx * sv
+          sv_dy = sv_py - mly * sv
+          g_ax = -isx * su_dx - isy * sv_dy
+          g_ay = -isx * su_dy + isy * sv_dx
+          suu = lu[0:1] * su_px + lu[1:2] * su_py + lu[2:3] * su
+          svv = lv[0:1] * sv_px + lv[1:2] * sv_py + lv[2:3] * sv
+          g_sx = isx * suu
+          g_sy = isy * svv
+
+          z0s = _mm1(ones_pix, z0, ((1,), (1,)))            # (1, C)
+          g_pa = z0s / jnp.maximum(pa, 1e-20)
+
+          cols_t = [g_mx, g_my, g_ax, g_ay, g_sx, g_sy, g_pa]
+          if with_vis:
+            cols_t.append(_mm1(ones_pix, w, ((1,), (1,))))  # visibility
+          if heur:
+            aag_h = jnp.transpose(pa) * alpha_grad        # (C, PIX)
+            prune = _mm1(ones_pix, aag_h * aag_h, ((1,), (1,)))
+            cxa = jnp.transpose(isx * ax)                 # (C, 1)
+            cya = jnp.transpose(isy * ay)
+            cxb = jnp.transpose(isx * ay)
+            cyb = jnp.transpose(isy * ax)
+            dmx_u = u * cxa - v * cya                     # (C, PIX)
+            dmy_u = u * cxb + v * cyb
+            split = _mm1(ones_pix,
+                         jnp.abs(z0 * dmx_u) + jnp.abs(z0 * dmy_u),
+                         ((1,), (1,)))
+            cols_t += [prune, split]
+          gt = jnp.concatenate(cols_t, 0)                   # (7[+1+2], C)
+          g7 = jnp.transpose(gt[:7, :])
+          extras = jnp.transpose(gt[7:, :]) if gt.shape[0] > 7 else None
+          parts = [g7, g_feats]
+          if extras is not None:
+            parts.append(extras)
         grows_ref[0:c_cap, :] = jnp.concatenate(parts, -1)  # (C, slabw)
 
         # copy-back: fetch-order grad rows -> RUN_CAP-strided band buffers.
@@ -531,9 +663,11 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
               new_rows = grows_ref[pl.ds(src_cur, tier), :].astype(
                   old.dtype)
               # dynamic lane rotate needs a 128-aligned lane count
+              pad_lanes = ((9 * slabw + 127) // 128) * 128
               padded = jnp.concatenate(
                   [new_rows,
-                   jnp.zeros((tier, 128 - slabw), new_rows.dtype)], -1)
+                   jnp.zeros((tier, pad_lanes - slabw), new_rows.dtype)],
+                  -1)
               if use_interpret():
                 placed = jnp.roll(padded, left, axis=1)
               else:
@@ -588,12 +722,13 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
   dtype = mapping.table.dtype
   n_groups = mapping.num_groups
   desc_w = mapping.desc.shape[-1]
-  slabw = 7 + f + (2 if config.compute_point_heuristic else 0)
+  slabw = slab_width(config, f)
 
   kernel = functools.partial(
       _bwd_kernel, config=config, f=f, gw=gw, tw=tw, th=mapping.tiles_high,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
-      s_cap=s_cap, run_cap=run_cap, slabw=slabw, w_max=mapping.w_max)
+      s_cap=s_cap, run_cap=run_cap, slabw=slabw, w_max=mapping.w_max,
+      depth_bits=mapping.depth_bits)
 
   def strip_spec(b, which):
     return pl.BlockSpec(

@@ -33,12 +33,15 @@ def render_gaussians(
     render_median_depth: bool = False,
     max_overlaps: Optional[int] = None,
     heuristic_probe: Optional[jnp.ndarray] = None,
+    probe: Optional[jnp.ndarray] = None,
 ) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:23-59).
 
   Args mirror the reference; ``max_overlaps`` sets the static overlap
-  capacity and ``heuristic_probe`` is the zero-valued (N, 2) array whose
-  gradient carries (prune_cost, split_score).
+  capacity (sorted pipeline) and ``heuristic_probe`` is the zero-valued
+  (N, 2) array whose gradient carries (prune_cost, split_score).
+  ``probe`` is the stream pipeline's full (N, probe_width(config)) probe
+  ([visibility, prune, split] cotangent columns).
   """
   gaussians2d, depths, in_view = project_to_image(
       gaussians, camera_params, config)
@@ -56,7 +59,7 @@ def render_gaussians(
       in_view, gaussians2d, features, depths, camera_params, config,
       use_depth16=use_depth16, render_median_depth=render_median_depth,
       render_depth=render_depth, max_overlaps=max_overlaps,
-      heuristic_probe=heuristic_probe)
+      heuristic_probe=heuristic_probe, probe=probe)
 
 
 def render_projected(
@@ -71,60 +74,101 @@ def render_projected(
     render_depth: bool = False,
     max_overlaps: Optional[int] = None,
     heuristic_probe: Optional[jnp.ndarray] = None,
+    probe: Optional[jnp.ndarray] = None,
 ) -> Rendering:
-  """Rasterize already-projected gaussians (reference renderer.py:62-108)."""
+  """Rasterize already-projected gaussians (reference renderer.py:62-108).
+
+  Routes through the tile-stream pipeline when ``config.pipeline`` allows;
+  on that path per-point visibility is a backward product (use
+  ``render_with_heuristics`` or thread ``probe`` and read its gradient).
+  """
+  from .rasterizer.stream_function import (probe_width, stream_eligible,
+                                           stream_map_with_config,
+                                           stream_rasterize_with_mapping)
+  image_size = camera_params.image_size
   ndc_depths = ndc_depth(depths, camera_params.near_plane,
                          camera_params.far_plane)
   # culled points have depth 0 sentinel -> keep the mapper's invalid mask
   ndc_depths = jnp.where(depths > 0, ndc_depths, 0.0)
+  use_stream = stream_eligible(config, image_size)
 
   if render_depth:
     # composite (feature, depth, depth^2) in one pass -> expectation depth
     feats_all = jnp.concatenate([features, depths, depths ** 2], -1)
+  elif render_median_depth and use_stream:
+    # the stream median pass reuses the mapping's table, so the depth
+    # must ride it as a feature channel
+    feats_all = jnp.concatenate([features, depths], -1)
   else:
     feats_all = features
-
-  mapping = map_to_tiles(
-      jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(ndc_depths),
-      image_size=camera_params.image_size, config=config,
-      max_overlaps=max_overlaps, use_depth16=use_depth16,
-      features=jax.lax.stop_gradient(feats_all))
-
-  raster = rasterize_with_tiles(
-      gaussians2d, feats_all, mapping,
-      image_size=camera_params.image_size, config=config,
-      heuristic_probe=heuristic_probe)
-
   f = features.shape[1]
-  depth_image = None
-  if render_depth:
-    depth_image = raster.image[..., f] / jnp.maximum(raster.image_weight,
-                                                     1e-10)
-  image = raster.image[..., :f]
+  sg = jax.lax.stop_gradient
 
-  median_depth = None
-  if render_median_depth:
-    median_cfg = dataclasses.replace(
-        config, use_alpha_blending=False,
-        saturate_threshold=config.median_threshold)
-    raster_depth = rasterize_with_tiles(
-        jax.lax.stop_gradient(gaussians2d), jax.lax.stop_gradient(depths),
-        mapping, image_size=camera_params.image_size, config=median_cfg)
-    median_depth = raster_depth.image[..., 0]
+  if use_stream:
+    mapping = stream_map_with_config(
+        sg(gaussians2d), sg(ndc_depths), sg(feats_all), image_size, config)
+    pw = probe_width(config)
+    if probe is None and heuristic_probe is not None and pw >= 2:
+      n = gaussians2d.shape[0]
+      probe = jnp.concatenate(
+          [jnp.zeros((n, pw - 2), gaussians2d.dtype), heuristic_probe], -1)
+    img_full, image_weight = stream_rasterize_with_mapping(
+        gaussians2d, feats_all, mapping, image_size, config, probe=probe)
+    depth_image = (img_full[..., f] / jnp.maximum(image_weight, 1e-10)
+                   if render_depth else None)
+    image = img_full[..., :f]
+    median_depth = None
+    if render_median_depth:
+      median_cfg = dataclasses.replace(
+          config, use_alpha_blending=False,
+          saturate_threshold=config.median_threshold)
+      med_all, _ = stream_rasterize_with_mapping(
+          sg(gaussians2d), sg(feats_all), mapping, image_size, median_cfg)
+      median_depth = med_all[..., f]
+    visibility = None
+  else:
+    mapping = map_to_tiles(
+        sg(gaussians2d), sg(ndc_depths),
+        image_size=image_size, config=config,
+        max_overlaps=max_overlaps, use_depth16=use_depth16,
+        features=sg(feats_all))
+
+    raster = rasterize_with_tiles(
+        gaussians2d, feats_all, mapping,
+        image_size=image_size, config=config,
+        heuristic_probe=heuristic_probe)
+
+    depth_image = None
+    if render_depth:
+      depth_image = raster.image[..., f] / jnp.maximum(raster.image_weight,
+                                                       1e-10)
+    image = raster.image[..., :f]
+    image_weight = raster.image_weight
+
+    median_depth = None
+    if render_median_depth:
+      median_cfg = dataclasses.replace(
+          config, use_alpha_blending=False,
+          saturate_threshold=config.median_threshold)
+      raster_depth = rasterize_with_tiles(
+          sg(gaussians2d), sg(depths),
+          mapping, image_size=image_size, config=median_cfg)
+      median_depth = raster_depth.image[..., 0]
+    visibility = raster.visibility
 
   points = RenderedPoints(
       in_view=in_view,
       depths=depths,
       gaussians2d=gaussians2d,
       features=features,
-      _visibility=raster.visibility,
+      _visibility=visibility,
       _prune_cost=None,
       _split_score=None,
   )
 
   return Rendering(
       image=image,
-      image_weight=raster.image_weight,
+      image_weight=image_weight,
       depth_image=depth_image,
       median_depth_image=median_depth,
       points=points,
@@ -161,18 +205,26 @@ def render_with_heuristics(
   """
   assert config.compute_point_heuristic, (
       "render_with_heuristics requires config.compute_point_heuristic")
+  from .rasterizer.stream_function import probe_width, stream_eligible
   n = gaussians.position.shape[0]
-  probe = jnp.zeros((n, 2), gaussians.position.dtype)
+  use_stream = stream_eligible(config, camera_params.image_size)
+  # stream path: the probe gains a leading visibility column whose gradient
+  # fills points.visibility (the sorted pipeline computes it in forward)
+  pw = probe_width(config) if use_stream else 2
+  probe = jnp.zeros((n, pw), gaussians.position.dtype)
 
   def wrapped(g, probe):
+    kw = {"probe": probe} if use_stream else {"heuristic_probe": probe}
     rendering = render_gaussians(g, camera_params, config,
-                                 heuristic_probe=probe, **render_kwargs)
+                                 **kw, **render_kwargs)
     return loss_fn(rendering), rendering
 
-  (loss, rendering), (grads, heur) = jax.value_and_grad(
+  (loss, rendering), (grads, gpr) = jax.value_and_grad(
       wrapped, argnums=(0, 1), has_aux=True)(gaussians, probe)
   points = rendering.points.replace(
-      _prune_cost=heur[:, 0], _split_score=heur[:, 1])
+      _prune_cost=gpr[:, pw - 2], _split_score=gpr[:, pw - 1])
+  if use_stream and pw == 3:
+    points = points.replace(_visibility=gpr[:, 0])
   return loss, rendering.replace(points=points), grads
 
 
