@@ -94,14 +94,16 @@ def _kernel_inputs(mapping: TileMapping, gaussians2d, features):
 
 def _pid_chunked(mapping: TileMapping):
   """(A, 1) i32 point ids per chunk slot (null = num_points), via the same
-  window-copy kernel (i32 rides as bitcast f32)."""
+  window-copy kernel (ids ride BY VALUE — exact in f32 below 2^24; bitcast
+  storage flushes denormal bit patterns to zero on TPU)."""
   n = mapping.num_points
+  assert n < (1 << 24), "point id exceeds f32 exact-int range"
   o2p = mapping.overlap_to_point
-  as_f32 = jax.lax.bitcast_convert_type(o2p, jnp.float32)[:, None]
+  as_f32 = o2p.astype(jnp.float32)[:, None]
   copied = window_copy(as_f32, mapping.chunk_src, mapping.chunk_cnt,
                        mapping.chunk_size)
-  pid = jax.lax.bitcast_convert_type(copied[:, 0], jnp.int32)
-  # window_copy zero-fills invalid slots; bitcast(0f) == 0 which is a REAL
+  pid = copied[:, 0].astype(jnp.int32)
+  # window_copy zero-fills invalid slots; value 0 is a REAL
   # point id, so rebuild the null sentinel from the validity pattern
   k = mapping.num_chunks
   g = mapping.chunk_size

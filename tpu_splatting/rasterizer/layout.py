@@ -103,8 +103,7 @@ _PACK_ROWS = _LANES // _PACK_COLS
 
 
 def _segment_sum_kernel(bs_ref, packed_ref, out_ref, scratch, sems,
-                        *, b: int, sub: int, c: int, ids_by_value: bool,
-                        exact: bool):
+                        *, b: int, sub: int, c: int, exact: bool):
   m = pl.program_id(0)
   base = m * b
   s_al = (bs_ref[m] // _PACK_ROWS) * _PACK_ROWS   # 8-row aligned window
@@ -136,10 +135,9 @@ def _segment_sum_kernel(bs_ref, packed_ref, out_ref, scratch, sems,
       for p in range(_PACK_ROWS):
         cols = scratch[slot][:, _PACK_COLS * p:_PACK_COLS * (p + 1)]
         idcol = cols[:, _PACK_COLS - 1]
-        if ids_by_value:      # f64 rows carry ids exactly by value
-          ids = idcol.astype(jnp.int32) - base
-        else:                 # f32 rows carry ids as bitcast (exact at any n)
-          ids = jax.lax.bitcast_convert_type(idcol, jnp.int32) - base
+        # ids ride BY VALUE (exact in f32 below 2^24, asserted by the
+        # caller; bitcast storage flushes denormal patterns on TPU)
+        ids = idcol.astype(jnp.int32) - base
         # zero out-of-range rows BEFORE the matmul: 0 * NaN = NaN, so a
         # NaN in a sentinel/padding row would otherwise poison the whole
         # block through the one-hot contraction
@@ -180,18 +178,14 @@ def segment_sum_sorted(rows: jnp.ndarray, ids: jnp.ndarray,
   assert c <= _PACK_COLS - 1, f"too many columns for packed reduce: {c}"
   nb = pl.cdiv(num_segments, block)
 
-  # pack [rows | 0-pad | ids] into (m_pad/8, 128) super-rows; f32 rows carry
-  # ids as a bitcast column, f64 rows (CPU gradcheck mode) by exact value
-  ids_by_value = rows.dtype != jnp.float32
+  # pack [rows | 0-pad | ids] into (m_pad/8, 128) super-rows; ids ride BY
+  # VALUE in the row dtype — exact in f32 below 2^24 (bitcast storage
+  # would flush denormal id bit patterns to zero on TPU)
+  assert num_segments < (1 << 24) - 1, "segment id exceeds f32 exact range"
   m_pad = ((m + sub - 1) // sub + 1) * sub   # sub-block slack for DMA
   pad = m_pad - m
-  if ids_by_value:
-    idcol = ids.astype(rows.dtype)[:, None]
-    sent_val = jnp.asarray(2 ** 30, rows.dtype)
-  else:
-    idcol = jax.lax.bitcast_convert_type(
-        ids.astype(jnp.int32), jnp.float32)[:, None]
-    sent_val = jax.lax.bitcast_convert_type(jnp.int32(2 ** 30), jnp.float32)
+  idcol = ids.astype(rows.dtype)[:, None]
+  sent_val = jnp.asarray((1 << 24) - 1, rows.dtype)
   logical = jnp.concatenate(
       [rows, jnp.zeros((m, _PACK_COLS - 1 - c), rows.dtype), idcol], -1)
   sentinel = jnp.zeros((pad, _PACK_COLS), rows.dtype).at[:, -1].set(sent_val)
@@ -213,8 +207,7 @@ def segment_sum_sorted(rows: jnp.ndarray, ids: jnp.ndarray,
 
   out = pl.pallas_call(
       functools.partial(_segment_sum_kernel, b=block, sub=sub, c=c,
-                        ids_by_value=ids_by_value,
-                        exact=ids_by_value or use_interpret()),
+                        exact=rows.dtype != jnp.float32 or use_interpret()),
       grid_spec=grid_spec,
       out_shape=jax.ShapeDtypeStruct((nb * block, _PACK_COLS), rows.dtype),
       interpret=use_interpret(),

@@ -64,20 +64,14 @@ from ..lib import gaussian2d as g2d
 from ..mapper.tile_mapper import pad_to_tile, tile_shape
 
 
-def _bitcast_f(x):
-  return jax.lax.bitcast_convert_type(x, jnp.float32)
-
-
-def _bitcast_i(x):
-  return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-
 @dataclass(frozen=True)
 class StreamMapping:
   """Static-shape stream mapping (pytree).
 
   table: (N_pad, 7+F+2) f32 — home-sorted rows [gaussian(7), features(F),
-    key(bitcast u32: home<<18|xcls<<16|depth16), pid(bitcast i32)].
+    depth rank (low depth_bits of the sort key, BY VALUE — exact in f32),
+    pid (BY VALUE; bitcast storage would flush denormal bit patterns on
+    TPU, see stream_map)].
   desc: (GROUPS, 1, GW*S*W_MAX*4) i32 — compacted fetch-window
     descriptors per (tile-in-group, merged slab): [lo_flat, len,
     gbuf_dst, class(b*3+k)] x W_MAX, nonempty first.  lo_flat indexes the
@@ -303,17 +297,16 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
     ops = (key_all, pid_all) + g_cols + f_cols
     s = jax.lax.sort(ops, num_keys=1)
     skey = s[0]
-    if gaussians.dtype == jnp.float64:
-      # f64 rows (CPU gradcheck runs): u32 keys / i32 pids are EXACT as
-      # f64 values — a bitcast-f32 column would be value-promoted by the
-      # stack and scrambled.  Kernels value-cast them back.
-      key_col = s[0].astype(gaussians.dtype)
-      pid_col = s[1].astype(gaussians.dtype)
-      pad_key = jnp.float64(0xFFFFFFFF)
-    else:
-      key_col = _bitcast_f(s[0].astype(jnp.uint32))
-      pid_col = _bitcast_f(s[1])
-      pad_key = _bitcast_f(jnp.uint32(0xFFFFFFFF))
+    # Integer columns ride the float table BY VALUE, never by bitcast:
+    # pids < 2^23 bitcast to f32 DENORMALS, which the TPU flushes to zero
+    # in XLA elementwise ops — a silent all-pids-to-0 scramble (found by
+    # benchmarks/check_tpu.py).  f32 holds ints exactly up to 2^24, so the
+    # depth rank (< 2^14) and pids (< 2n + dup_cap, asserted) are exact;
+    # the f64 gradcheck path is exact a fortiori.
+    assert 2 * n + dup_cap < (1 << 24), "pid exceeds f32 exact-int range"
+    key_col = (s[0] & jnp.uint32((1 << db) - 1)).astype(gaussians.dtype)
+    pid_col = s[1].astype(gaussians.dtype)
+    pad_key = float((1 << db) - 1)   # sentinel rank; masked by cnt anyway
     cols = list(s[2:]) + [key_col, pid_col]
     table = jnp.stack(cols, -1)                     # (N + dup_cap, 7+F+2)
     # pad so any 2-block strip fetch stays in bounds; padding rows are

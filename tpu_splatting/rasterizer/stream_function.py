@@ -37,14 +37,6 @@ def _float0(x):
   return np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _bitcast_u(x):
-  return jax.lax.bitcast_convert_type(x, jnp.uint32)
-
-
-def _bitcast_i(x):
-  return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-
 def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
                   run_cap: int, slabw: int) -> jnp.ndarray:
   """Reduce the per-group gradient slab blocks to per-point gradients in
@@ -116,11 +108,9 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
   # rows carry pid + n (invalid slots > 2n), so after the pid sort the
   # first n rows ARE the per-point gradients and the dup tail
   # scatter-adds onto them (few rows — wide splats are rare).
-  pid_col = mapping.table[:n_rows, -1]
-  if pid_col.dtype == jnp.float64:   # exact value storage (see stream_map)
-    pid = pid_col.astype(jnp.int32)
-  else:
-    pid = _bitcast_i(pid_col)
+  # pids ride the table BY VALUE (exact below 2^24; bitcast storage would
+  # flush denormal pid bit patterns to zero on TPU — see stream_map)
+  pid = mapping.table[:n_rows, -1].astype(jnp.int32)
   ops2 = (pid,) + tuple(g_home[:, c] for c in range(slabw))
   s2 = jax.lax.sort(ops2, num_keys=1)
   g_pts = jnp.stack(s2[1:], -1)[:n]

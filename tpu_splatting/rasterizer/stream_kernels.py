@@ -168,12 +168,10 @@ def _rank_mask(rows_t, cnt, c_cap: int, depth_bits: int = 14):
   """(C, C) bf16 mask M[i,j] = depth-rank_i < depth-rank_j, fetch order.
 
   Rank key = depth << 11 | slot (distinct; ties broken by fetch slot);
-  rows at/after cnt rank last (their alpha is masked to 0 anyway)."""
-  if rows_t.dtype == jnp.float64:
-    key_u = rows_t[-2:-1, :].astype(jnp.int64).astype(jnp.int32)
-  else:
-    key_u = jax.lax.bitcast_convert_type(rows_t[-2:-1, :], jnp.int32)
-  d14 = key_u & ((1 << depth_bits) - 1)
+  rows at/after cnt rank last (their alpha is masked to 0 anyway).  The
+  table's rank column stores the pre-masked depth rank BY VALUE (exact in
+  f32 below 2^24; bitcast storage flushes on TPU — see stream_map)."""
+  d14 = rows_t[-2:-1, :].astype(jnp.int32)
   slot = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
   rk = jnp.where(slot < cnt, (d14 << 11) | slot, jnp.int32(2 ** 31 - 1))
   rk_col = jnp.transpose(rk)                     # (C, 1)
