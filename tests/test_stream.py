@@ -244,6 +244,103 @@ def test_stream_wide_gaussians_match_sorted():
                              atol=1e-4, rtol=1e-4)
 
 
+def test_stream_group_width8():
+  """gw=8 (the widest advertised group): one group per band, both tiles
+  of the group on an image edge — covers the edge-band fetch and the
+  edge-group shrunk k=0/k=2 gradient writes at full width."""
+  config = RasterConfig(tile_size=8, chunk_size=8)
+  image_size = (64, 24)   # tw=8 -> groups_x=1 at gw=8
+  n = 90
+  packed, depths, feats = make_scene(5, n, image_size)
+  tgt = jnp.asarray(
+      np.random.default_rng(0).random((24, 64, 3)).astype(np.float32))
+
+  sm = map_to_tiles(packed, depths, image_size, config, max_overlaps=8192,
+                    features=feats)
+
+  def loss_sorted(p, f):
+    out = rasterize_with_tiles(p, f, sm, image_size, config)
+    return jnp.sum((out.image - tgt) ** 2) + jnp.sum(out.image_weight ** 2)
+
+  mm = stream_map(packed, depths, feats, image_size, config, group_width=8,
+                  num_slabs=4, strip_cap=1024, slab_cap=256, w_max=40,
+                  run_cap=128)
+  assert int(mm.num_overflow) == 0
+
+  def loss_stream(p, f):
+    img, w = stream_rasterize_with_mapping(p, f, mm, image_size, config)
+    return jnp.sum((img - tgt) ** 2) + jnp.sum(w ** 2)
+
+  ls, (gp_s, gf_s) = jax.value_and_grad(loss_sorted, argnums=(0, 1))(
+      packed, feats)
+  lt, (gp_t, gf_t) = jax.value_and_grad(loss_stream, argnums=(0, 1))(
+      packed, feats)
+  np.testing.assert_allclose(float(lt), float(ls), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gp_s),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_s),
+                             atol=1e-4, rtol=1e-4)
+
+
+def test_stream_overflow_counted():
+  """Capacity overflow is COUNTED, never silent: (a) wide splats with
+  duplication disabled count their uncovered span; (b) a tiny slab_cap
+  counts dropped rows."""
+  rng = np.random.default_rng(13)
+  n, image_size = 40, (64, 48)
+  g2 = random_2d_gaussians(rng, n, image_size, num_channels=3,
+                           scale_factor=0.3, alpha_range=(0.3, 0.9),
+                           dtype=jnp.float32)
+  packed = np.array(project_gaussians2d(g2), copy=True)
+  packed[:5, 0:2] = np.asarray([[32.0, 24.0]] * 5)  # centred, wide
+  packed[:5, 4:6] = 20.0                             # sigma 20px
+  packed[5:, 4:6] = 1.0   # everything else narrow: exactly 5 wide splats
+  packed = jnp.asarray(packed)
+  depths = jnp.asarray(rng.permutation(n).astype(np.float32) + 0.5) / n
+  config = RasterConfig(tile_size=8, chunk_size=8)
+
+  # (a) duplication disabled: exactly the 5 wide splats count as overflow
+  mm = stream_map(packed, depths, g2.feature, image_size, config,
+                  group_width=2, num_slabs=2, strip_cap=2048, slab_cap=512,
+                  w_max=40, run_cap=256, dup_cap=0)
+  assert int(mm.num_overflow) == 5
+
+  # (b) slab rows beyond slab_cap are counted (deep centre tiles)
+  mm2 = stream_map(packed, depths, g2.feature, image_size, config,
+                   group_width=2, num_slabs=1, strip_cap=2048, slab_cap=8,
+                   w_max=40, run_cap=256, dup_cap=512)
+  assert int(mm2.num_overflow) > 0
+
+
+def test_stream_f64_gradcheck():
+  """Direct f64 central-difference gradcheck of the stream custom_vjp
+  (not just agreement with the sorted pipeline)."""
+  from gradcheck import check_grads
+  config = RasterConfig(tile_size=8, chunk_size=8)
+  image_size = (16, 16)
+  n = 30
+  packed, depths, feats = make_scene(17, n, image_size)
+  packed = packed.astype(jnp.float64)
+  feats = feats.astype(jnp.float64)
+  depths = depths.astype(jnp.float64)
+  def f(p, f_):
+    # the mapping's table is a copy of the inputs, so finite differences
+    # must REBUILD it from the perturbed inputs; the custom_vjp defines
+    # the gradient w.r.t. the original arrays (mapping cotangent float0)
+    mm = stream_map(p, depths, f_, image_size, config, group_width=2,
+                    num_slabs=2, strip_cap=512, slab_cap=128, w_max=24,
+                    run_cap=64)
+    img, w = stream_rasterize_with_mapping(p, f_, mm, image_size, config)
+    return img, w
+
+  mm0 = stream_map(packed, depths, feats, image_size, config,
+                   group_width=2, num_slabs=2, strip_cap=512, slab_cap=128,
+                   w_max=24, run_cap=64)
+  assert int(mm0.num_overflow) == 0
+
+  check_grads(f, (packed, feats), rtol=1e-5, atol=1e-5, n_directions=2)
+
+
 def test_stream_depth12_key_layout():
   """The >16k-tile key layout (16-bit home, 12-bit depth) must composite
   identically to the sorted pipeline when d12 keys are distinct — covers

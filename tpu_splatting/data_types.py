@@ -106,6 +106,12 @@ class RasterConfig:
   stream_wide_cap: int = 1024
   stream_dup_cap: int = 8192
 
+  # Split-bf16 passes for the stream kernels' rank-mask transmittance
+  # matmuls: 2 = f32-grade (~2^-16 relative, the default), 1 = single
+  # bf16 pass (~0.4% per-term input rounding on log-transmittance, ~35%
+  # cheaper forward/backward).  CPU interpret mode is always exact.
+  stream_passes: int = 2
+
   @property
   def tile_area(self) -> int:
     return self.tile_size * self.tile_size

@@ -34,6 +34,12 @@ from .stream_kernels import slab_width, stream_backward, stream_forward
 
 
 def _float0(x):
+  """Zero cotangent for a non-differentiated mapping leaf: real zeros for
+  float leaves (float0 would poison an upstream stream_map vjp when the
+  caller differentiates through the map build, e.g. gradcheck probes),
+  float0 for integer leaves (the only valid zero there)."""
+  if np.issubdtype(np.dtype(x.dtype), np.floating):
+    return jnp.zeros(x.shape, x.dtype)
   return np.zeros(x.shape, jax.dtypes.float0)
 
 
@@ -45,51 +51,21 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
   sort back to original pids.  Every index quantity is elementwise.
   """
   n = mapping.num_points
-  tw = mapping.tiles_wide
-  th = mapping.tiles_high
   t_total = mapping.num_tiles
-  gw = mapping.group_width
   r_rows = t_total * run_cap
 
-  # --- canonicalise + sum the 9 slabs -----------------------------------
+  # --- canonicalise + sum the 9 slabs (Pallas merge kernel) -------------
   # Group-slot position j of group (gy, gx) holds home gx-1+j; slab (b,k)
-  # owns positions [k, gw+k).  Concatenating owned windows group-major and
-  # shifting by ((b-1)*tw + (k-1))*run_cap aligns slab (b,k) to canonical
-  # home-major rows (ownership tiles each band exactly).  Validity of a
-  # cell depends only on its home id — elementwise in the row index.
-  row = jnp.arange(r_rows, dtype=jnp.int32)
-  h = row // run_cap
-  hb = h // tw
-  hx = h % tw
-
-  # Work COLUMN-WISE in dense 1D (R,) arrays throughout: any (R, slabw)
-  # intermediate would tile-pad 12.8x in HBM (T(8,128) on a 10-wide minor
-  # dim) — at headline scale that alone OOMs the chip.
-  acc_cols = [jnp.zeros((r_rows,), jnp.float32) for _ in range(slabw)]
-  for b in range(3):
-    tile_band = hb - b + 1
-    band_ok = (tile_band >= 0) & (tile_band < th)
-    for k in range(3):
-      c0 = (b * 3 + k) * slabw
-      tile_x = hx + 1 - k
-      valid = band_ok & (tile_x >= 0) & (tile_x < tw)
-      shift = ((b - 1) * tw + (k - 1)) * run_cap
-      if abs(shift) >= r_rows:
-        continue  # tiny grids: the whole slab shifts out of range (its
-        # validity mask is all-False anyway)
-      for c in range(slabw):
-        col = gout[:, k * run_cap:(k + gw) * run_cap, c0 + c]
-        col = col.reshape(r_rows).astype(jnp.float32)
-        if shift > 0:
-          col = jnp.concatenate(
-              [jnp.zeros((shift,), col.dtype), col[:-shift]], 0)
-        elif shift < 0:
-          col = jnp.concatenate(
-              [col[-shift:], jnp.zeros((-shift,), col.dtype)], 0)
-        acc_cols[c] = acc_cols[c] + jnp.where(valid, col, 0.0)
+  # owns positions [k, gw+k).  merge_grad_slabs sums each home's 9 class
+  # cells into home-major (R,) columns reading gout exactly 3x — XLA's
+  # 9*slabw lane-strided slice reads of the Pallas gout output do not
+  # fuse and cost ~40x the useful bytes (measured +250 ms in-graph).
+  from .stream_kernels import merge_grad_slabs
+  acc_cols = merge_grad_slabs(gout, mapping, run_cap, slabw)
 
   # --- compact away run padding (stable sort by is-padding) -------------
   n_rows = n + mapping.dup_cap
+  row = jnp.arange(r_rows, dtype=jnp.int32)
   run_lens = jnp.minimum(mapping.run_starts[1:] - mapping.run_starts[:-1],
                          run_cap)
   pad_row = (row % run_cap) >= jnp.repeat(run_lens, run_cap)

@@ -329,7 +329,8 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
           mask_lt = _rank_mask(rows_t, cnt, c_cap, depth_bits)  # (C, C)
           lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                             carry_ref[...])
-          lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
+          lt = _mask_mm(mask_lt, l, ((0,), (0,)),
+                        passes=config.stream_passes) + lt_in
         t = jnp.exp(lt)
         lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
 
@@ -527,7 +528,8 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         mask_lt = _rank_mask(rows_t, cnt, c_cap, depth_bits)
         lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                           carry_ref[0:1, :])
-        lt = _mask_mm(mask_lt, l, ((0,), (0,))) + lt_in
+        lt = _mask_mm(mask_lt, l, ((0,), (0,)),
+                      passes=config.stream_passes) + lt_in
         t = jnp.exp(lt)
         live = ((lt > lcut) & (a > 0.0)).astype(dtype)
         w = a * t * live
@@ -697,6 +699,142 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
     return 0
 
   jax.lax.fori_loop(0, gw, tile_body, 0)
+
+
+def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
+                  chunks: int, th: int, cpb: int):
+  """Sum the 9 per-class gradient slabs into canonical home-major rows.
+
+  refs = [B0, B1, B2 (big band blocks), L0..L2, R0..R2 (skinny edge
+  blocks), out_0..out_{slabw-1}].  Big block b holds the gout rows of cpg
+  consecutive groups in source band (band + 1 - b); home j of group c
+  reads its three x-class slabs from rows [(j+1)*rc, (j+2)*rc) of that
+  block (j' = j_src + k = j + 1 for every in-group k), plus one
+  left/right-neighbour row window at the group edges.  All lane slabs
+  are summed EXACTLY (static lane slices + adds — no matmul rounding).
+  """
+  s = pl.program_id(0)
+  band = s // chunks
+  chunk = s % chunks
+  big = refs[0:3]
+  lft = refs[3:6]
+  rgt = refs[6:9]
+  outs = refs[9:9 + slabw]
+
+  dtype = big[0].dtype
+  for c in range(cpg):
+    for j in range(gw):
+      acc = None
+      for b in range(3):
+        sb = band + 1 - b
+        okb = ((sb >= 0) & (sb < th)).astype(dtype)
+        # own-group slabs: every k with j_src = j+1-k in [0, gw)
+        own = big[b][c, (j + 1) * rc:(j + 2) * rc, :]
+        part = None
+        for k in range(3):
+          if not (0 <= j + 1 - k < gw):
+            continue
+          c0 = (b * 3 + k) * slabw
+          sl = own[:, c0:c0 + slabw]
+          part = sl if part is None else part + sl
+        contrib = part * okb
+        # left neighbour (k=2 slab of the group to the left), j == 0 only
+        if j == 0:
+          if c > 0:
+            src = big[b][c - 1, (gw + 1) * rc:(gw + 2) * rc, :]
+            okl = okb
+          else:
+            src = lft[b][0]
+            okl = okb * (chunk > 0).astype(dtype)
+          c0 = (b * 3 + 2) * slabw
+          contrib = contrib + src[:, c0:c0 + slabw] * okl
+        # right neighbour (k=0 slab of the group to the right)
+        if j == gw - 1:
+          if c < cpg - 1:
+            src = big[b][c + 1, 0:rc, :]
+            okr = okb
+          else:
+            src = rgt[b][0]
+            okr = okb * (chunk < chunks - 1).astype(dtype)
+          c0 = (b * 3 + 0) * slabw
+          contrib = contrib + src[:, c0:c0 + slabw] * okr
+        acc = contrib if acc is None else acc + contrib
+      acc_t = jnp.transpose(acc)                       # (slabw, rc)
+      for cc in range(slabw):
+        outs[cc][c, 0:1, j * rc:(j + 1) * rc] = acc_t[cc:cc + 1, :]
+
+
+def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
+                     slabw: int):
+  """Pallas stage 1 of stream_reduce: (G, (gw+2)*rc + slack, 9*slabw)
+  slab blocks -> slabw home-major (T*rc,) gradient columns.
+
+  Replaces the XLA shift-add: 9*slabw lane-strided slice reads of a
+  Pallas output do NOT fuse into one pass — each reads full (8, 128)
+  tiles, ~40x the useful bytes (measured: reduce 84 ms isolated but
+  ~360 ms in the grad graph).  Here gout is read exactly 3x (once per
+  consuming band) and the columns come out as clean 1D sort operands."""
+  gw = mapping.group_width
+  rc = run_cap
+  tw = mapping.tiles_wide
+  th = mapping.tiles_high
+  groups_x = tw // gw
+  n_groups = mapping.num_groups
+  rows = gout.shape[1]
+  lanes = gout.shape[2]
+
+  cpg = 1
+  for d in range(1, min(16, groups_x) + 1):
+    if groups_x % d == 0 and 3 * 2 * d * rows * 128 * 4 <= 48 * 1024 * 1024:
+      cpg = d
+  chunks = groups_x // cpg
+
+  def big_spec(b):
+    def imap(s):
+      band = s // chunks
+      sb = jnp.clip(band + 1 - b, 0, th - 1)
+      return (sb * chunks + s % chunks, 0, 0)
+    return pl.BlockSpec((cpg, rows, lanes), imap)
+
+  def skinny_spec(b, side):
+    def imap(s):
+      band = s // chunks
+      chunk = s % chunks
+      sb = jnp.clip(band + 1 - b, 0, th - 1)
+      if side == 0:   # left: last group of previous chunk, j' = gw+1 rows
+        g = sb * groups_x + chunk * cpg - 1
+        rb = gw + 1
+      else:           # right: first group of next chunk, j' = 0 rows
+        g = sb * groups_x + (chunk + 1) * cpg
+        rb = 0
+      return (jnp.clip(g, 0, n_groups - 1), rb, 0)
+    return pl.BlockSpec((1, rc, lanes), imap)
+
+  kernel = functools.partial(
+      _merge_kernel, cpg=cpg, gw=gw, rc=rc, slabw=slabw, chunks=chunks,
+      th=th, cpb=chunks)
+
+  in_specs = ([big_spec(b) for b in range(3)]
+              + [skinny_spec(b, 0) for b in range(3)]
+              + [skinny_spec(b, 1) for b in range(3)])
+  # outputs are 3D (G, 1, gw*rc) so the last-two block dims equal the
+  # array dims exactly (Mosaic requires second-minor blocks divisible by
+  # 8 otherwise, which small grids' cpg cannot guarantee)
+  out_specs = [pl.BlockSpec((cpg, 1, gw * rc), lambda s: (s, 0, 0))
+               for _ in range(slabw)]
+  outs = pl.pallas_call(
+      kernel,
+      grid=(th * chunks,),
+      in_specs=in_specs,
+      out_specs=out_specs,
+      out_shape=[jax.ShapeDtypeStruct((n_groups, 1, gw * rc), gout.dtype)
+                 for _ in range(slabw)],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=use_interpret(),
+  )(*([gout] * 9))
+  r_rows = mapping.num_tiles * rc
+  return [o.reshape(r_rows) for o in outs]
 
 
 def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
