@@ -105,7 +105,8 @@ def bench_scene(name, packed, depth, feats, gw):
 
   caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
               slab_cap=cal["slab_cap"], group_width=gw,
-              w_max=cal["w_max"], run_cap=cal["run_cap"])
+              w_max=cal["w_max"], run_cap=cal["run_cap"],
+              wide_cap=cal["wide_cap"], dup_cap=cal["dup_cap"])
   map_f = lambda p, d, f: stream_map(p, d, f, IMAGE_SIZE, config, **caps)
 
   # the benchmark is only valid if NO overlaps were dropped

@@ -38,7 +38,8 @@ def main():
                          group_width=gw)
   caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
               slab_cap=cal["slab_cap"], group_width=gw,
-              w_max=cal["w_max"], run_cap=cal["run_cap"])
+              w_max=cal["w_max"], run_cap=cal["run_cap"],
+              wide_cap=cal["wide_cap"], dup_cap=cal["dup_cap"])
   m = jax.jit(lambda p, d, f: stream_map(p, d, f, IMAGE_SIZE, config,
                                          **caps))(packed, depth, feats)
   f = m.feature_size

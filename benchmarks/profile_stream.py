@@ -54,7 +54,8 @@ def main():
   print(f"# calibration: {cal}", file=sys.stderr)
   caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
               slab_cap=cal["slab_cap"], group_width=gw,
-              w_max=cal["w_max"], run_cap=cal["run_cap"])
+              w_max=cal["w_max"], run_cap=cal["run_cap"],
+              wide_cap=cal["wide_cap"], dup_cap=cal["dup_cap"])
   map_f = lambda p_, d, f_: stream_map(p_, d, f_, IMAGE_SIZE, config,
                                        **caps)
   m = jax.jit(map_f)(packed, depth, feats)

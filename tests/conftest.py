@@ -21,3 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: interpret-mode Pallas graphs take tens of
+# seconds to compile on this 1-CPU machine; caching roughly halves the
+# fast tier's wall clock on re-runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -61,8 +61,8 @@ def run_both(seed, n=80, image_size=(32, 24), group_width=2,
 
 
 @pytest.mark.parametrize(
-    "seed", [0, 1, *(pytest.param(x, marks=pytest.mark.slow)
-                     for x in range(2, 4))])
+    "seed", [0, *(pytest.param(x, marks=pytest.mark.slow)
+                  for x in range(1, 4))])
 def test_stream_forward_matches_sorted(seed):
   # seed 0 additionally exercises calibrate_stream end-to-end
   img_s, w_s, img_t, w_t = run_both(seed, calibrate=seed == 0)
@@ -119,7 +119,8 @@ def _stream_mapping(packed, depths, feats, image_size, config,
   return mm
 
 
-@pytest.mark.parametrize("antialias", [False, True])
+@pytest.mark.parametrize(
+    "antialias", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_stream_probe_outputs_match_sorted(antialias):
   """Visibility + heuristics surface as probe cotangents on the stream
   path and must equal the sorted pipeline's forward visibility and probe

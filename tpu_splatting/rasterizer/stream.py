@@ -549,6 +549,35 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   )
 
 
+@functools.partial(jax.jit, static_argnames=("image_size", "config"))
+def wide_stats(gaussians, depth, image_size, config: RasterConfig):
+  """(num_wide, total_dup_rows) of the scene: splats whose AABB reaches
+  beyond +-1 tile of home, and the span tiles outside their 3x3 core
+  (clipped to config.big_tile_window per axis) — the quantities that
+  size stream_map's wide_cap / dup_cap."""
+  ts = config.tile_size
+  mean, axis, sigma, alpha = g2d.unpack_g2d(gaussians)
+  gscale = g2d.gaussian_scale(alpha, config.alpha_threshold)
+  valid = (alpha > config.alpha_threshold) & (depth.reshape(-1) > 0) & (
+      gscale > 0)
+  lower, upper = g2d.ellipse_bounds(
+      mean, axis * (sigma[:, 0] * gscale)[:, None],
+      g2d.perp(axis) * (sigma[:, 1] * gscale)[:, None])
+  padded = pad_to_tile(image_size, ts)
+  max_tile = (jnp.asarray(padded, jnp.int32) - 1) // ts
+  lo_t = jnp.clip(jnp.floor(lower / ts).astype(jnp.int32), 0, max_tile)
+  hi_t = jnp.clip(jnp.floor(upper / ts).astype(jnp.int32), 0, max_tile)
+  home = jnp.clip(jnp.floor(mean / ts).astype(jnp.int32), 0, max_tile)
+  wide = valid & ~jnp.all((home - lo_t <= 1) & (hi_t - home <= 1), -1)
+  span = jnp.minimum(hi_t - lo_t + 1, config.big_tile_window)
+  # dup SLOTS = full clipped-span product: stream_map allocates a slot
+  # for every span cell and invalidates the 3x3-core ones afterwards
+  # (stream.py cnt_w / dup_ok), so dup_cap must cover the full product
+  dup = span[:, 0] * span[:, 1]
+  return (wide.sum(dtype=jnp.int32),
+          jnp.where(wide, dup, 0).sum(dtype=jnp.int32))
+
+
 def calibrate_stream(gaussians, depth, features, image_size,
                      config: RasterConfig, group_width: int = 8,
                      slab_cap: int = 512) -> dict:
@@ -625,8 +654,21 @@ def calibrate_stream(gaussians, depth, features, image_size,
       num_slabs = min(12, num_slabs + 2)   # finer cells split hot slabs
     w_max = int((lens2 > 0).sum(3).max())
 
+    # wide-splat capacities: 0 when the scene has none (the dup machinery
+    # costs ~20 ms/frame at 2M points even when idle — measured), sized
+    # with headroom otherwise.  Overflow counters catch scene drift.
+    n_wide, n_dup = (int(x) for x in
+                     wide_stats(gaussians, depth, image_size, config))
+    if n_wide == 0:
+      wide_cap = dup_cap = 0
+    else:
+      wide_cap = max(64, 1 << (int(n_wide * 1.3)).bit_length())
+      dup_cap = max(256, 1 << (int(n_dup * 1.3)).bit_length())
+
   return {"num_slabs": num_slabs, "strip_cap": strip_cap,
           "slab_cap": slab_cap, "w_max": min(64, w_max + 2),
-          "run_cap": run_cap, "max_tile_rows": max_rows,
+          "run_cap": run_cap, "wide_cap": wide_cap, "dup_cap": dup_cap,
+          "max_tile_rows": max_rows,
           "max_strip_rows": strip_len, "max_run": max_run,
-          "max_slab_rows": max_slab_rows}
+          "max_slab_rows": max_slab_rows, "num_wide": n_wide,
+          "num_dup_rows": n_dup}

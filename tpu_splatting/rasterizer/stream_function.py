@@ -44,12 +44,13 @@ def _float0(x):
 
 
 def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
-                  run_cap: int, slabw: int) -> jnp.ndarray:
-  """Reduce the per-group gradient slab blocks to per-point gradients in
-  the CALLER's point order — gather-free: 9 statically-shifted slab adds,
-  one R-sized compaction sort (drop run padding), one N-sized inverse
-  sort back to original pids.  Every index quantity is elementwise.
-  """
+                  run_cap: int, slabw: int):
+  """Reduce the per-group gradient slab blocks to per-point gradient
+  COLUMNS in the caller's point order: Pallas 9-slab merge, one R-sized
+  compaction sort (drop run padding), one N-sized inverse sort back to
+  original pids.  Returns ``slabw`` 1D (n,) columns — everything stays
+  column-wise: a (n, slabw) intermediate tile-pads ~10x in HBM and its
+  per-column slice reads don't fuse (each reads full (8,128) tiles)."""
   n = mapping.num_points
   t_total = mapping.num_tiles
   r_rows = t_total * run_cap
@@ -62,6 +63,17 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
   # fuse and cost ~40x the useful bytes (measured +250 ms in-graph).
   from .stream_kernels import merge_grad_slabs
   acc_cols = merge_grad_slabs(gout, mapping, run_cap, slabw)
+  return reduce_stage2(acc_cols, mapping, run_cap)
+
+
+def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
+  """Stage 2 of the gradient reduce: home-major (R,) columns -> caller-
+  point-order (n,) columns.  One R-sized compaction sort (drop run
+  padding), one N-sized inverse pid sort, wide-splat duplicate rows
+  scatter-added.  Also the tail of the band-sharded path
+  (parallel/stream_sharded.py) after its all_gather."""
+  n = mapping.num_points
+  r_rows = mapping.num_tiles * run_cap
 
   # --- compact away run padding (stable sort by is-padding) -------------
   n_rows = n + mapping.dup_cap
@@ -74,10 +86,12 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
   m = min(n_rows, r_rows)   # valid rows always fit in the runs (<= R);
   # tiny scenes can have n + dup_cap > R — the excess table rows are all
   # sentinels (culled / unused dup slots) with zero gradient
-  g_home = jnp.stack(s[1:], -1)[:m]       # (m, slabw), home order
-  if m < n_rows:
-    g_home = jnp.concatenate(
-        [g_home, jnp.zeros((n_rows - m, slabw), g_home.dtype)], 0)
+  def to_rows(c):
+    c = c[:m]
+    if m < n_rows:
+      c = jnp.concatenate([c, jnp.zeros((n_rows - m,), c.dtype)], 0)
+    return c
+  home_cols = [to_rows(c) for c in s[1:]]   # slabw x (n_rows,), home order
 
   # --- inverse permutation: home order -> caller's point order ----------
   # Main rows carry pids 0..n-1 (each exactly once); wide-splat duplicate
@@ -87,16 +101,14 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
   # pids ride the table BY VALUE (exact below 2^24; bitcast storage would
   # flush denormal pid bit patterns to zero on TPU — see stream_map)
   pid = mapping.table[:n_rows, -1].astype(jnp.int32)
-  ops2 = (pid,) + tuple(g_home[:, c] for c in range(slabw))
-  s2 = jax.lax.sort(ops2, num_keys=1)
-  g_pts = jnp.stack(s2[1:], -1)[:n]
+  s2 = jax.lax.sort((pid,) + tuple(home_cols), num_keys=1)
+  cols = [c[:n] for c in s2[1:]]
   if mapping.dup_cap > 0:
-    dpid = s2[0][n:n_rows] - n
-    dval = (dpid >= 0) & (dpid < n)
-    dgr = jnp.stack(s2[1:], -1)[n:n_rows]
-    g_pts = g_pts.at[jnp.clip(dpid, 0, n - 1)].add(
-        jnp.where(dval[:, None], dgr, 0.0))
-  return g_pts
+    dpid = jnp.clip(s2[0][n:n_rows] - n, 0, n - 1)
+    dval = (s2[0][n:n_rows] - n >= 0) & (s2[0][n:n_rows] - n < n)
+    cols = [c.at[dpid].add(jnp.where(dval, d[n:n_rows], 0.0))
+            for c, d in zip(cols, s2[1:])]
+  return cols
 
 
 def detile(image_tiled: jnp.ndarray, tiles_wide: int, tiles_high: int,
@@ -200,10 +212,14 @@ def _stream_function(config: RasterConfig, run_cap: int):
     slabw = slab_width(config, f)
     gout = stream_backward(mapping, image_tiled, g_image_tiled, config,
                            run_cap)
-    reduced = stream_reduce(gout, mapping, run_cap, slabw)
-    g_g2d = reduced[:, :7]
-    g_feats = reduced[:, 7:7 + f]
-    g_probe = reduced[:, 7 + f:]
+    cols = stream_reduce(gout, mapping, run_cap, slabw)
+    dt = cols[0].dtype
+    n = mapping.num_points
+    g_g2d = jnp.stack(cols[:7], -1)
+    g_feats = jnp.stack(cols[7:7 + f], -1)
+    pw = len(cols) - 7 - f
+    g_probe = (jnp.stack(cols[7 + f:], -1) if pw
+               else jnp.zeros((n, 0), dt))
     return (g_g2d, g_feats.astype(g_g2d.dtype),
             g_probe.astype(g_g2d.dtype),
             jax.tree.map(_float0, mapping))

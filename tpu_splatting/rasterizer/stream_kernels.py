@@ -291,7 +291,8 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
   def tile_body(i, _):
     ox = (((g % groups_x) * gw + i) * ts).astype(dtype) + ts * 0.5
-    oy = ((g // groups_x) * ts).astype(dtype) + ts * 0.5
+    band0 = sb_ref[3 * pl.num_programs(0)]
+    oy = ((band0 + g // groups_x) * ts).astype(dtype) + ts * 0.5
 
     def slab_body(s, _):
       first = s == 0
@@ -401,13 +402,26 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
   jax.lax.fori_loop(0, gw, tile_body, 0)
 
 
+def _sb_with_band0(strip_blk, band0):
+  """Flattened scalar-prefetch table [strip blocks..., band0]: the last
+  slot carries the shard's first absolute tile band (0 when unsharded) —
+  kernels read it at index 3 * num_programs."""
+  flat = strip_blk.reshape(-1)
+  b0 = (jnp.zeros((1,), flat.dtype) if band0 is None
+        else jnp.asarray(band0, flat.dtype).reshape(1))
+  return jnp.concatenate([flat, b0])
+
+
 def stream_forward(mapping: StreamMapping, config: RasterConfig,
-                   ablate: str = "", with_counts: bool = False):
+                   ablate: str = "", with_counts: bool = False,
+                   band0=None):
   """Forward rasterization over a stream mapping.
 
   Returns image_tiled (T, F+1, PIX); channel F is the alpha image.
   ``ablate`` ("no_mask" / "no_alpha") and ``with_counts`` are profiling
-  instruments — see benchmarks/bench_stream.py."""
+  instruments — see benchmarks/bench_stream.py.  ``band0`` (i32 scalar)
+  offsets the group grid's band index — band-sharded rendering passes
+  each shard's first ABSOLUTE tile band (parallel/stream_sharded.py)."""
   f = mapping.feature_size
   gw = mapping.group_width
   groups_x = mapping.tiles_wide // gw
@@ -463,7 +477,7 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(mapping.strip_blk.reshape(-1), mapping.desc,
+  )(_sb_with_band0(mapping.strip_blk, band0), mapping.desc,
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table)
 
@@ -505,7 +519,8 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
   def tile_body(i, _):
     ox = (((g % groups_x) * gw + i) * ts).astype(dtype) + ts * 0.5
-    oy = ((g // groups_x) * ts).astype(dtype) + ts * 0.5
+    band0 = sb_ref[3 * pl.num_programs(0)]
+    oy = ((band0 + g // groups_x) * ts).astype(dtype) + ts * 0.5
     gimg = gimg_ref[i]                                      # (F+1, PIX)
     img = img_ref[i]
     s_total = jnp.sum(gimg * img, 0, keepdims=True)         # (1, PIX)
@@ -702,7 +717,7 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
 
 def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
-                  chunks: int, th: int, cpb: int):
+                  chunks: int, th: int, cpb: int, halo: bool):
   """Sum the 9 per-class gradient slabs into canonical home-major rows.
 
   refs = [B0, B1, B2 (big band blocks), L0..L2, R0..R2 (skinny edge
@@ -710,9 +725,13 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
   consecutive groups in source band (band + 1 - b); home j of group c
   reads its three x-class slabs from rows [(j+1)*rc, (j+2)*rc) of that
   block (j' = j_src + k = j + 1 for every in-group k), plus one
-  left/right-neighbour row window at the group edges.  All lane slabs
-  are summed EXACTLY (static lane slices + adds — no matmul rounding).
-  """
+  left/right-neighbour row window at the group edges.
+
+  Lane selection is mask-multiply (no per-slab lane slices — each is a
+  lane-relayout); the 9-slab fold is ONE transposing one-hot dot per
+  (group, home): acc13[cc, p] = sum_r (r % slabw == cc) * t[p, r], on
+  the MXU at HIGHEST precision (exact split f32 — gradient sums must
+  not round to bf16)."""
   s = pl.program_id(0)
   band = s // chunks
   chunk = s % chunks
@@ -722,22 +741,37 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
   outs = refs[9:9 + slabw]
 
   dtype = big[0].dtype
+  lanes = big[0].shape[-1]                          # 9 * slabw
+  lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+  k9 = lane // slabw                                # class id per lane
+  # transposing fold matrix: (slabw, lanes) one-hot on lane % slabw
+  frow = jax.lax.broadcasted_iota(jnp.int32, (slabw, lanes), 0)
+  flane = jax.lax.broadcasted_iota(jnp.int32, (slabw, lanes), 1)
+  fold_t = (flane % slabw == frow).astype(dtype)
+
+  def slab_mask(b, ks):
+    m = None
+    for k in ks:
+      e = (k9 == b * 3 + k)
+      m = e if m is None else m | e
+    return m.astype(dtype)
+
   for c in range(cpg):
     for j in range(gw):
+      ks_own = [k for k in range(3) if 0 <= j + 1 - k < gw]
       acc = None
       for b in range(3):
-        sb = band + 1 - b
-        okb = ((sb >= 0) & (sb < th)).astype(dtype)
+        if halo:
+          # halo mode: gout has th+2 band rows (zeroed beyond the global
+          # image edges by the caller's ppermute), so every source band
+          # exists and no masking is needed
+          okb = jnp.asarray(1.0, dtype)
+        else:
+          sb = band + 1 - b
+          okb = ((sb >= 0) & (sb < th)).astype(dtype)
         # own-group slabs: every k with j_src = j+1-k in [0, gw)
         own = big[b][c, (j + 1) * rc:(j + 2) * rc, :]
-        part = None
-        for k in range(3):
-          if not (0 <= j + 1 - k < gw):
-            continue
-          c0 = (b * 3 + k) * slabw
-          sl = own[:, c0:c0 + slabw]
-          part = sl if part is None else part + sl
-        contrib = part * okb
+        contrib = own * (slab_mask(b, ks_own) * okb)
         # left neighbour (k=2 slab of the group to the left), j == 0 only
         if j == 0:
           if c > 0:
@@ -746,8 +780,7 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
           else:
             src = lft[b][0]
             okl = okb * (chunk > 0).astype(dtype)
-          c0 = (b * 3 + 2) * slabw
-          contrib = contrib + src[:, c0:c0 + slabw] * okl
+          contrib = contrib + src * (slab_mask(b, [2]) * okl)
         # right neighbour (k=0 slab of the group to the right)
         if j == gw - 1:
           if c < cpg - 1:
@@ -756,16 +789,19 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
           else:
             src = rgt[b][0]
             okr = okb * (chunk < chunks - 1).astype(dtype)
-          c0 = (b * 3 + 0) * slabw
-          contrib = contrib + src[:, c0:c0 + slabw] * okr
+          contrib = contrib + src * (slab_mask(b, [0]) * okr)
         acc = contrib if acc is None else acc + contrib
-      acc_t = jnp.transpose(acc)                       # (slabw, rc)
+      # (slabw, rc) = fold_t (slabw, L) . acc (rc, L) over lanes
+      acc13 = jax.lax.dot_general(
+          fold_t, acc, dimension_numbers=(((1,), (1,)), ((), ())),
+          precision=jax.lax.Precision.HIGHEST,
+          preferred_element_type=dtype)
       for cc in range(slabw):
-        outs[cc][c, 0:1, j * rc:(j + 1) * rc] = acc_t[cc:cc + 1, :]
+        outs[cc][c, 0:1, j * rc:(j + 1) * rc] = acc13[cc:cc + 1, :]
 
 
 def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
-                     slabw: int):
+                     slabw: int, halo: bool = False):
   """Pallas stage 1 of stream_reduce: (G, (gw+2)*rc + slack, 9*slabw)
   slab blocks -> slabw home-major (T*rc,) gradient columns.
 
@@ -777,42 +813,53 @@ def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
   gw = mapping.group_width
   rc = run_cap
   tw = mapping.tiles_wide
-  th = mapping.tiles_high
+  th = mapping.tiles_high      # OUTPUT bands (local bands when sharded)
   groups_x = tw // gw
-  n_groups = mapping.num_groups
-  rows = gout.shape[1]
+  n_groups = th * groups_x     # output groups; gout has th+2 bands of
+  # groups in halo mode (band-sharded reduce, parallel/stream_sharded.py)
+  n_groups_src = gout.shape[0]
+  assert n_groups_src == (th + 2 if halo else th) * groups_x, (
+      n_groups_src, th, groups_x, halo)
   lanes = gout.shape[2]
 
+  used_rows = (gw + 2) * rc   # skip gout's tier-overrun slack rows
   cpg = 1
   for d in range(1, min(16, groups_x) + 1):
-    if groups_x % d == 0 and 3 * 2 * d * rows * 128 * 4 <= 48 * 1024 * 1024:
+    if (groups_x % d == 0
+        and 3 * 2 * d * used_rows * 128 * 4 <= 48 * 1024 * 1024):
       cpg = d
   chunks = groups_x // cpg
 
   def big_spec(b):
     def imap(s):
       band = s // chunks
-      sb = jnp.clip(band + 1 - b, 0, th - 1)
+      if halo:
+        sb = band + 2 - b            # ext row: local band + 1 halo offset
+      else:
+        sb = jnp.clip(band + 1 - b, 0, th - 1)
       return (sb * chunks + s % chunks, 0, 0)
-    return pl.BlockSpec((cpg, rows, lanes), imap)
+    return pl.BlockSpec((cpg, used_rows, lanes), imap)
 
   def skinny_spec(b, side):
     def imap(s):
       band = s // chunks
       chunk = s % chunks
-      sb = jnp.clip(band + 1 - b, 0, th - 1)
+      if halo:
+        sb = band + 2 - b
+      else:
+        sb = jnp.clip(band + 1 - b, 0, th - 1)
       if side == 0:   # left: last group of previous chunk, j' = gw+1 rows
         g = sb * groups_x + chunk * cpg - 1
         rb = gw + 1
       else:           # right: first group of next chunk, j' = 0 rows
         g = sb * groups_x + (chunk + 1) * cpg
         rb = 0
-      return (jnp.clip(g, 0, n_groups - 1), rb, 0)
+      return (jnp.clip(g, 0, n_groups_src - 1), rb, 0)
     return pl.BlockSpec((1, rc, lanes), imap)
 
   kernel = functools.partial(
       _merge_kernel, cpg=cpg, gw=gw, rc=rc, slabw=slabw, chunks=chunks,
-      th=th, cpb=chunks)
+      th=th, cpb=chunks, halo=halo)
 
   in_specs = ([big_spec(b) for b in range(3)]
               + [skinny_spec(b, 0) for b in range(3)]
@@ -833,12 +880,12 @@ def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
   )(*([gout] * 9))
-  r_rows = mapping.num_tiles * rc
+  r_rows = n_groups * gw * rc
   return [o.reshape(r_rows) for o in outs]
 
 
 def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
-                    config: RasterConfig, run_cap: int):
+                    config: RasterConfig, run_cap: int, band0=None):
   """Backward pass: RUN_CAP-strided per-class gradient slabs.
 
   Returns the per-GROUP slab blocks
@@ -910,7 +957,7 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(mapping.strip_blk.reshape(-1), mapping.desc,
+  )(_sb_with_band0(mapping.strip_blk, band0), mapping.desc,
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table,
     image_tiled, g_image_tiled)
