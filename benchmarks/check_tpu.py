@@ -14,6 +14,7 @@ Prints one PASS/FAIL line per quantity plus error quantiles.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -92,8 +93,9 @@ def main():
 
   image_size = (256, 192)
   n = 12_000
+  passes = int(os.environ.get("TPU_SPLAT_PASSES", "2"))
   config = RasterConfig(compute_point_heuristic=True,
-                        compute_visibility=True)
+                        compute_visibility=True, stream_passes=passes)
   caps = dict(num_slabs=6, strip_cap=2048, slab_cap=512, w_max=40,
               run_cap=512)
   packed, depth, feats = make_scene(n, image_size)

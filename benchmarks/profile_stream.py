@@ -22,6 +22,7 @@ def main():
   p.add_argument("--heur", action="store_true",
                  help="trainer config (visibility + point heuristics)")
   p.add_argument("--iters", type=int, default=3)
+  p.add_argument("--passes", type=int, default=2)
   p.add_argument("--stages", type=str, default="map,fwd,bwd,reduce,full")
   args = p.parse_args()
   stages = set(args.stages.split(","))
@@ -47,7 +48,8 @@ def main():
   feats = jnp.asarray(feats)
 
   config = RasterConfig(compute_point_heuristic=args.heur,
-                        compute_visibility=args.heur)
+                        compute_visibility=args.heur,
+                        stream_passes=args.passes)
   gw = args.gw
   cal = calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
                          group_width=gw)

@@ -738,7 +738,10 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
   big = refs[0:3]
   lft = refs[3:6]
   rgt = refs[6:9]
-  outs = refs[9:9 + slabw]
+  outs = refs[9:10]
+
+  out_ref = outs[0]
+  scratch = refs[9 + 1]
 
   dtype = big[0].dtype
   lanes = big[0].shape[-1]                          # 9 * slabw
@@ -791,13 +794,16 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
             okr = okb * (chunk < chunks - 1).astype(dtype)
           contrib = contrib + src * (slab_mask(b, [0]) * okr)
         acc = contrib if acc is None else acc + contrib
-      # (slabw, rc) = fold_t (slabw, L) . acc (rc, L) over lanes
-      acc13 = jax.lax.dot_general(
-          fold_t, acc, dimension_numbers=(((1,), (1,)), ((), ())),
-          precision=jax.lax.Precision.HIGHEST,
-          preferred_element_type=dtype)
-      for cc in range(slabw):
-        outs[cc][c, 0:1, j * rc:(j + 1) * rc] = acc13[cc:cc + 1, :]
+      scratch[(c * gw + j) * rc:(c * gw + j + 1) * rc, :] = acc
+
+  # ONE transposing one-hot fold per step (not per home): MXU HIGHEST
+  # keeps the f32 gradient sums exact; output rows are the slabw columns
+  acc13 = jax.lax.dot_general(
+      fold_t, scratch[...], dimension_numbers=(((1,), (1,)), ((), ())),
+      precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=dtype)                 # (slabw, cpg*gw*rc)
+  for c in range(cpg):
+    out_ref[:, c, 0, :] = acc13[:, c * gw * rc:(c + 1) * gw * rc]
 
 
 def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
@@ -864,24 +870,27 @@ def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
   in_specs = ([big_spec(b) for b in range(3)]
               + [skinny_spec(b, 0) for b in range(3)]
               + [skinny_spec(b, 1) for b in range(3)])
-  # outputs are 3D (G, 1, gw*rc) so the last-two block dims equal the
-  # array dims exactly (Mosaic requires second-minor blocks divisible by
-  # 8 otherwise, which small grids' cpg cannot guarantee)
-  out_specs = [pl.BlockSpec((cpg, 1, gw * rc), lambda s: (s, 0, 0))
-               for _ in range(slabw)]
-  outs = pl.pallas_call(
+  # ONE slabw-major output (slabw, G, 1, gw*rc): slicing its MAJOR axis
+  # into the per-column 1D sort operands is contiguous (free), and the
+  # 4D shape keeps the last-two block dims equal to the array dims
+  # (Mosaic requires second-minor blocks divisible by 8 otherwise,
+  # which small grids' cpg cannot guarantee)
+  out_specs = [pl.BlockSpec((slabw, cpg, 1, gw * rc),
+                            lambda s: (0, s, 0, 0))]
+  (out,) = pl.pallas_call(
       kernel,
       grid=(th * chunks,),
       in_specs=in_specs,
       out_specs=out_specs,
-      out_shape=[jax.ShapeDtypeStruct((n_groups, 1, gw * rc), gout.dtype)
-                 for _ in range(slabw)],
+      out_shape=[jax.ShapeDtypeStruct((slabw, n_groups, 1, gw * rc),
+                                      gout.dtype)],
+      scratch_shapes=[pltpu.VMEM((cpg * gw * rc, lanes), gout.dtype)],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
   )(*([gout] * 9))
   r_rows = n_groups * gw * rc
-  return [o.reshape(r_rows) for o in outs]
+  return [out[cc].reshape(r_rows) for cc in range(slabw)]
 
 
 def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
