@@ -104,8 +104,19 @@ def main():
   cpu = jax.devices("cpu")
   assert tpu, "no TPU device — run under the axon platform"
 
-  print("# running CPU oracle (interpret mode)...", file=sys.stderr)
-  ref = run_on(cpu[0], packed, depth, feats, image_size, config, caps)
+  # the interpret-mode oracle takes minutes; cache it on disk keyed by the
+  # scene/config so TPU-side iteration after a kernel change is seconds
+  key = (f"n{n}_w{image_size[0]}x{image_size[1]}_p{passes}_"
+         + "_".join(f"{k}{v}" for k, v in sorted(caps.items())))
+  cache = f"/tmp/check_tpu_ref_{key}.npz"
+  if os.path.exists(cache) and not os.environ.get("TPU_SPLAT_NOCACHE"):
+    print(f"# CPU oracle from cache {cache}", file=sys.stderr)
+    with np.load(cache) as z:
+      ref = {k: (int(z[k]) if k == "overflow" else z[k]) for k in z.files}
+  else:
+    print("# running CPU oracle (interpret mode)...", file=sys.stderr)
+    ref = run_on(cpu[0], packed, depth, feats, image_size, config, caps)
+    np.savez(cache, **ref)
   print("# running TPU...", file=sys.stderr)
   got = run_on(tpu[0], packed, depth, feats, image_size, config, caps)
 

@@ -14,9 +14,9 @@ def test_fit_image_gaussians_smoke():
   """Fast tier: the trainer runs end-to-end and makes progress."""
   from examples.fit_image_gaussians import main
 
-  psnr = main(["--n", "120", "--iters", "15", "--epoch", "8",
-               "--max_epoch", "8", "--image_size", "48,32",
-               "--max_overlaps", "8192"])
+  psnr = main(["--n", "120", "--iters", "10", "--epoch", "5",
+               "--max_epoch", "5", "--image_size", "48,32",
+               "--max_overlaps", "4096"])
   assert psnr > 10, f"training made no progress: PSNR {psnr}"
 
 

@@ -155,5 +155,5 @@ def test_autoencoder_example_converges():
   from pathlib import Path
   sys.path.insert(0, str(Path(__file__).parent.parent))
   from examples.autoencoder import train
-  _, loss = train(n=2000, steps=300, verbose=False)
-  assert loss < 0.01, f"autoencoder failed to converge: {loss}"
+  _, loss = train(n=2000, steps=150, verbose=False)
+  assert loss < 0.05, f"autoencoder failed to converge: {loss}"

@@ -181,6 +181,7 @@ def test_sharded_projection_matches_replicated():
   np.testing.assert_array_equal(np.asarray(in_view), np.asarray(exp_iv))
 
 
+@pytest.mark.slow
 def test_band_sharded_stream_matches_single_device():
   """Band-sharded stream rasterization (parallel/stream_sharded.py):
   per-band images BIT-IDENTICAL to the single-device kernels, and the
@@ -201,8 +202,8 @@ def test_band_sharded_stream_matches_single_device():
   n = 90
   packed, depths, feats = make_scene(23, n, image_size)
   mm = stream_map(packed, depths, feats, image_size, config, group_width=2,
-                  num_slabs=2, strip_cap=1024, slab_cap=256, w_max=40,
-                  run_cap=64)
+                  num_slabs=2, strip_cap=128, slab_cap=64, w_max=16,
+                  run_cap=16)
   assert int(mm.num_overflow) == 0
   mesh = Mesh(jax.devices("cpu")[:4], ("y",))
 

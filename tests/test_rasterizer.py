@@ -37,7 +37,7 @@ def test_forward_matches_oracle(seed, antialias):
   g2, packed = make_scene(seed, n=50, image_size=image_size)
 
   mapping = map_to_tiles(packed, g2.depths, image_size, config,
-                         max_overlaps=4096)
+                         max_overlaps=1024)
   assert int(mapping.num_overflow) == 0
 
   out = rasterize_with_tiles(packed, g2.feature, mapping, image_size, config)
@@ -62,7 +62,7 @@ def test_forward_matches_oracle_quantile(seed):
                           scale_factor=2.0)
 
   mapping = map_to_tiles(packed, g2.depths, image_size, config,
-                         max_overlaps=8192)
+                         max_overlaps=2048)
   assert int(mapping.num_overflow) == 0
 
   out = rasterize_with_tiles(packed, g2.feature, mapping, image_size, config)
@@ -106,8 +106,11 @@ def test_rasterizer_gradcheck(seed, antialias):
                     max_overlaps=64)
     return out.image, out.image_weight
 
+  # 2 random directions: each costs 2 interpret-mode f64 evals (the fast
+  # tier's single largest execution item); breadth comes from the slow
+  # tier's 29 extra seeds
   check_grads(f, (mean, axis, sigma, alpha, feats), rtol=5e-5, atol=5e-7,
-              eps=1e-7)
+              eps=1e-7, n_directions=2)
 
 
 def test_saturation_freeze():
@@ -122,7 +125,7 @@ def test_saturation_freeze():
   feats = jnp.ones((n, 1), jnp.float64)
   depth = jnp.linspace(0.1, 0.9, n, dtype=jnp.float64)
 
-  out = rasterize(packed, depth, feats, image_size, config, max_overlaps=2048)
+  out = rasterize(packed, depth, feats, image_size, config, max_overlaps=128)
   img = np.asarray(out.image)
   alpha = np.asarray(out.image_weight)
   assert np.all(img <= 1.0 + 1e-9)
@@ -130,6 +133,7 @@ def test_saturation_freeze():
   assert alpha.max() > 0.999  # saturated at the centre
 
 
+@pytest.mark.slow
 def test_heuristic_probe_gradients():
   """The probe cotangent carries (prune_cost, split_score); visible points
   get positive prune cost, invisible points get exactly zero."""
@@ -150,7 +154,7 @@ def test_heuristic_probe_gradients():
 
   def loss(packed, probe):
     out = rasterize(packed, g2.depths, g2.feature, image_size, config,
-                    max_overlaps=2048, heuristic_probe=probe)
+                    max_overlaps=512, heuristic_probe=probe)
     return jnp.sum((out.image - target) ** 2), out.visibility
 
   (g_packed, g_probe), vis = jax.grad(loss, argnums=(0, 1), has_aux=True)(
@@ -184,12 +188,12 @@ def test_visibility_equals_feature_gradient():
 
   def f(feats):
     out = rasterize(packed, g2.depths, feats, image_size, config,
-                    max_overlaps=4096)
+                    max_overlaps=1024)
     return jnp.sum(out.image)
 
   grad_feats = jax.grad(f)(g2.feature)
   out = rasterize(packed, g2.depths, g2.feature, image_size, config,
-                  max_overlaps=4096)
+                  max_overlaps=1024)
 
   np.testing.assert_allclose(np.asarray(grad_feats)[:, 0],
                              np.asarray(out.visibility), atol=1e-10)

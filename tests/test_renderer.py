@@ -11,6 +11,16 @@ from tpu_splatting import RasterConfig, render_gaussians
 from random_data import random_3d_gaussians, random_camera
 
 
+def small_cfg(**kw):
+  # stream caps calibrated for these 100-point scenes (max strip 96 rows,
+  # run 35, dup 545): the production defaults (strip 8192) make the
+  # interpret-mode kernels loop over thousands of padding chunks
+  return RasterConfig(tile_size=16, chunk_size=16, stream_num_slabs=2,
+                      stream_strip_cap=256, stream_slab_cap=128,
+                      stream_w_max=16, stream_run_cap=64,
+                      stream_wide_cap=128, stream_dup_cap=1024, **kw)
+
+
 def make_scene(seed, n=100, image_size=(64, 48)):
   rng = np.random.default_rng(seed)
   camera = random_camera(rng, image_size=image_size)
@@ -18,10 +28,12 @@ def make_scene(seed, n=100, image_size=(64, 48)):
   return gaussians, camera
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize(
+    "seed", [0, *(pytest.param(s, marks=pytest.mark.slow)
+                  for s in range(1, 3))])
 def test_render_gaussians_end_to_end(seed):
   gaussians, camera = make_scene(seed)
-  config = RasterConfig(tile_size=16, chunk_size=16, compute_visibility=True)
+  config = small_cfg(compute_visibility=True)
 
   render = jax.jit(lambda g: render_gaussians(
       g, camera, config, max_overlaps=8192))
@@ -34,15 +46,17 @@ def test_render_gaussians_end_to_end(seed):
   assert float(out.image_weight.min()) >= 0
   assert float(out.image.max()) > 0, "something should render"
   assert bool(out.points.in_view.any())
+  assert int(out.num_overflow) == 0
 
 
+@pytest.mark.slow
 def test_render_with_sh():
   gaussians, camera = make_scene(1)
   # degree-2 SH coefficients
   rng = np.random.default_rng(5)
   sh_feats = jnp.asarray(rng.standard_normal((100, 3, 9)) * 0.2, jnp.float32)
   gaussians = gaussians.replace(feature=sh_feats)
-  config = RasterConfig(tile_size=16, chunk_size=16)
+  config = small_cfg()
 
   out = jax.jit(lambda g: render_gaussians(
       g, camera, config, use_sh=True, max_overlaps=8192))(gaussians)
@@ -52,7 +66,7 @@ def test_render_with_sh():
 
 def test_render_depth_outputs():
   gaussians, camera = make_scene(2)
-  config = RasterConfig(tile_size=16, chunk_size=16)
+  config = small_cfg()
 
   out = jax.jit(lambda g: render_gaussians(
       g, camera, config, render_depth=True, render_median_depth=True,
@@ -74,7 +88,7 @@ def test_render_depth_outputs():
 
 def test_render_gradients_flow_to_all_inputs():
   gaussians, camera = make_scene(3)
-  config = RasterConfig(tile_size=16, chunk_size=16)
+  config = small_cfg()
   target = jnp.zeros((camera.image_size[1], camera.image_size[0], 3))
 
   def loss(g, proj, pose):
@@ -93,9 +107,10 @@ def test_render_gradients_flow_to_all_inputs():
   assert float(jnp.abs(grads.position).max()) > 0
 
 
+@pytest.mark.slow
 def test_render_use_depth16():
   gaussians, camera = make_scene(4)
-  config = RasterConfig(tile_size=16, chunk_size=16)
+  config = small_cfg()
   out32 = jax.jit(lambda g: render_gaussians(
       g, camera, config, max_overlaps=8192))(gaussians)
   out16 = jax.jit(lambda g: render_gaussians(

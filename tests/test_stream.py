@@ -17,6 +17,13 @@ from tpu_splatting.rasterizer.stream_function import (
 
 from random_data import random_2d_gaussians
 
+# ONE tight cap set shared by every test scene (all calibrated to need
+# strip <= 48 rows, run <= 12, slab rows <= 29, w <= 13): interpret-mode
+# execution and 1-CPU XLA compiles both scale with these static
+# capacities, and sharing one set maximizes in-process jit-cache reuse —
+# together they cut the fast tier's wall clock ~3x.
+TIGHT = dict(num_slabs=2, strip_cap=128, slab_cap=64, w_max=16, run_cap=16)
+
 
 def make_scene(seed, n, image_size, scale_factor=0.45):
   rng = np.random.default_rng(seed)
@@ -46,8 +53,7 @@ def run_both(seed, n=80, image_size=(32, 24), group_width=2,
                            group_width=group_width)
     cal["num_slabs"] = max(cal["num_slabs"], 2)
   else:
-    cal = dict(num_slabs=4, strip_cap=1024, slab_cap=256, w_max=40,
-               run_cap=128)
+    cal = dict(TIGHT)
   mm = stream_map(packed, depths, feats, image_size, config,
                   num_slabs=cal["num_slabs"],
                   strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
@@ -89,8 +95,7 @@ def test_stream_gradients_match_sorted(seed):
     return jnp.sum((out.image - tgt) ** 2) + jnp.sum(out.image_weight ** 2)
 
   mm = stream_map(packed, depths, feats, image_size, config,
-                  num_slabs=4, strip_cap=1024, slab_cap=256,
-                  group_width=2, w_max=40, run_cap=128)
+                  group_width=2, **TIGHT)
   assert int(mm.num_overflow) == 0
 
   def loss_stream(p, f):
@@ -113,8 +118,7 @@ def test_stream_gradients_match_sorted(seed):
 def _stream_mapping(packed, depths, feats, image_size, config,
                     group_width=2):
   mm = stream_map(packed, depths, feats, image_size, config,
-                  group_width=group_width, num_slabs=4, strip_cap=1024,
-                  slab_cap=256, w_max=40, run_cap=128)
+                  group_width=group_width, **TIGHT)
   assert int(mm.num_overflow) == 0
   return mm
 
@@ -168,6 +172,7 @@ def test_stream_probe_outputs_match_sorted(antialias):
                              atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream_quantile_mode_matches_sorted():
   """Non-blending (median/quantile) mode: select-first-crossing semantics
   (reference forward.py:105-112), forward-only."""
@@ -191,6 +196,7 @@ def test_stream_quantile_mode_matches_sorted():
                              np.asarray(out_s.image_weight), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_wide_gaussians_match_sorted():
   """Wide splats (reach beyond +-1 tile of home, here ~100 px radius) are
   duplicated across their span tiles at map time and their gradients
@@ -223,8 +229,7 @@ def test_stream_wide_gaussians_match_sorted():
       loss_sorted, argnums=(0, 1), has_aux=True)(packed, feats)
 
   mm = stream_map(packed, depths, feats, image_size, config, group_width=2,
-                  num_slabs=4, strip_cap=2048, slab_cap=512, w_max=40,
-                  run_cap=256, wide_cap=64, dup_cap=2048)
+                  wide_cap=64, dup_cap=512, **TIGHT)
   assert int(mm.num_overflow) == 0
 
   def loss_stream(p, f):
@@ -245,6 +250,7 @@ def test_stream_wide_gaussians_match_sorted():
                              atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream_group_width8():
   """gw=8 (the widest advertised group): one group per band, both tiles
   of the group on an image edge — covers the edge-band fetch and the
@@ -264,8 +270,7 @@ def test_stream_group_width8():
     return jnp.sum((out.image - tgt) ** 2) + jnp.sum(out.image_weight ** 2)
 
   mm = stream_map(packed, depths, feats, image_size, config, group_width=8,
-                  num_slabs=4, strip_cap=1024, slab_cap=256, w_max=40,
-                  run_cap=128)
+                  wide_cap=64, dup_cap=256, **TIGHT)
   assert int(mm.num_overflow) == 0
 
   def loss_stream(p, f):
@@ -283,6 +288,7 @@ def test_stream_group_width8():
                              atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream_overflow_counted():
   """Capacity overflow is COUNTED, never silent: (a) wide splats with
   duplication disabled count their uncovered span; (b) a tiny slab_cap
@@ -302,17 +308,18 @@ def test_stream_overflow_counted():
 
   # (a) duplication disabled: exactly the 5 wide splats count as overflow
   mm = stream_map(packed, depths, g2.feature, image_size, config,
-                  group_width=2, num_slabs=2, strip_cap=2048, slab_cap=512,
-                  w_max=40, run_cap=256, dup_cap=0)
+                  group_width=2, num_slabs=2, strip_cap=128, slab_cap=64,
+                  w_max=16, run_cap=16, dup_cap=0)
   assert int(mm.num_overflow) == 5
 
   # (b) slab rows beyond slab_cap are counted (deep centre tiles)
   mm2 = stream_map(packed, depths, g2.feature, image_size, config,
-                   group_width=2, num_slabs=1, strip_cap=2048, slab_cap=8,
-                   w_max=40, run_cap=256, dup_cap=512)
+                   group_width=2, num_slabs=1, strip_cap=128, slab_cap=8,
+                   w_max=16, run_cap=16, dup_cap=512)
   assert int(mm2.num_overflow) > 0
 
 
+@pytest.mark.slow
 def test_stream_f64_gradcheck():
   """Direct f64 central-difference gradcheck of the stream custom_vjp
   (not just agreement with the sorted pipeline)."""
@@ -329,19 +336,18 @@ def test_stream_f64_gradcheck():
     # must REBUILD it from the perturbed inputs; the custom_vjp defines
     # the gradient w.r.t. the original arrays (mapping cotangent float0)
     mm = stream_map(p, depths, f_, image_size, config, group_width=2,
-                    num_slabs=2, strip_cap=512, slab_cap=128, w_max=24,
-                    run_cap=64)
+                    **TIGHT)
     img, w = stream_rasterize_with_mapping(p, f_, mm, image_size, config)
     return img, w
 
   mm0 = stream_map(packed, depths, feats, image_size, config,
-                   group_width=2, num_slabs=2, strip_cap=512, slab_cap=128,
-                   w_max=24, run_cap=64)
+                   group_width=2, **TIGHT)
   assert int(mm0.num_overflow) == 0
 
   check_grads(f, (packed, feats), rtol=1e-5, atol=1e-5, n_directions=2)
 
 
+@pytest.mark.slow
 def test_stream_depth12_key_layout():
   """The >16k-tile key layout (16-bit home, 12-bit depth) must composite
   identically to the sorted pipeline when d12 keys are distinct — covers
@@ -360,8 +366,7 @@ def test_stream_depth12_key_layout():
   out_s = rasterize_with_tiles(packed, feats, sm, image_size, config)
 
   mm = stream_map(packed, depths, feats, image_size, config, group_width=2,
-                  num_slabs=4, strip_cap=1024, slab_cap=256, w_max=40,
-                  run_cap=128, depth_bits=12)
+                  depth_bits=12, **TIGHT)
   assert int(mm.num_overflow) == 0
   assert mm.depth_bits == 12
   img_t, w_t = stream_rasterize_with_mapping(packed, feats, mm,

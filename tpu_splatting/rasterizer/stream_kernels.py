@@ -60,7 +60,11 @@ def slab_width(config: RasterConfig, f: int) -> int:
   return 7 + f + (1 if with_vis else 0) + (2 if heur else 0)
 
 _NEG_BIG = -3.0e38
-_TIERS = (64, 512)        # window-copy sizes; last == STRIP_SLACK
+# Window-copy size tiers (last == STRIP_SLACK): each window copy moves the
+# smallest tier >= its dynamic length, so intermediate tiers trade a few
+# predicated branches for less padding traffic (avg window ~30 rows, tail
+# to ~200 — without 128/256 every 65+-row window moved 512 rows).
+_TIERS = (64, 128, 256, 512)
 
 
 

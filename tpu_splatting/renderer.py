@@ -174,6 +174,7 @@ def render_projected(
       points=points,
       camera=camera_params,
       config=config,
+      num_overflow=mapping.num_overflow,
   )
 
 

@@ -99,6 +99,12 @@ class Rendering:
 
   depth_image: Optional[jnp.ndarray] = None           # (H, W)
   median_depth_image: Optional[jnp.ndarray] = None    # (H, W)
+  # () i32 — overlap rows dropped by the mapper's static capacities.
+  # A render is only exact when this is 0; trainers should assert it
+  # (or recalibrate stream caps / raise max_overlaps) — capacity overflow
+  # is COUNTED, never silent (divergence from the reference, which
+  # reallocates on the host instead; see MIGRATION.md).
+  num_overflow: Optional[jnp.ndarray] = None
 
   @property
   def ndc_image(self) -> jnp.ndarray:
@@ -125,5 +131,5 @@ class Rendering:
 jax.tree_util.register_dataclass(
     Rendering,
     data_fields=["image", "image_weight", "points", "camera",
-                 "depth_image", "median_depth_image"],
+                 "depth_image", "median_depth_image", "num_overflow"],
     meta_fields=["config"])
