@@ -29,31 +29,52 @@ def make_scene(n_points=256, image_size=(32, 32), seed=0):
 
 @pytest.mark.slow
 def test_data_parallel_loss_matches_single_device():
+  """DP loss == per-camera mean, and the psum'd probe cotangent equals the
+  summed single-device visibility (the stream pipeline delivers visibility
+  as the probe's cotangent, not as a forward output)."""
+  from tpu_splatting.rasterizer.stream_function import probe_width
+
   gaussians, camera = make_scene()
   config = RasterConfig(tile_size=16, chunk_size=16, compute_visibility=True)
   mesh = make_mesh(8)
 
   rng = np.random.default_rng(1)
   b = 8
+  n = gaussians.position.shape[0]
+  pw = probe_width(config)
+  probe = jnp.zeros((n, pw), jnp.float32)
   projections = jnp.tile(camera.projection, (b, 1))
   poses = jnp.tile(camera.T_camera_world, (b, 1, 1))
   targets = jnp.asarray(rng.random((b, 32, 32, 3)), jnp.float32)
 
   loss_fn = data_parallel_loss(mesh, camera, config, max_overlaps=4096)
-  sharded, sharded_vis = jax.jit(loss_fn)(
-      gaussians,
-      jax.device_put(projections, NamedSharding(mesh, P("data"))),
-      jax.device_put(poses, NamedSharding(mesh, P("data"))),
-      jax.device_put(targets, NamedSharding(mesh, P("data"))))
+  shard = NamedSharding(mesh, P("data"))
 
-  # single-device reference: mean loss + summed visibility over cameras
+  def wrapped(probe):
+    return loss_fn(gaussians, probe,
+                   jax.device_put(projections, shard),
+                   jax.device_put(poses, shard),
+                   jax.device_put(targets, shard))
+
+  (sharded, fwd_vis), gpr = jax.jit(
+      jax.value_and_grad(wrapped, has_aux=True))(probe)
+  sharded_vis = fwd_vis + gpr[:, 0]
+
+  # single-device reference: mean loss + summed probe-cotangent visibility
   from tpu_splatting import render_gaussians
+
+  def cam_loss(probe, proj, pose, target):
+    cam = camera.replace(projection=proj, T_camera_world=pose)
+    out = render_gaussians(gaussians, cam, config, max_overlaps=4096,
+                           probe=probe)
+    return jnp.mean((out.image - target) ** 2)
+
   losses, vis_total = [], 0.0
   for i in range(b):
-    cam = camera.replace(projection=projections[i], T_camera_world=poses[i])
-    out = render_gaussians(gaussians, cam, config, max_overlaps=4096)
-    losses.append(jnp.mean((out.image - targets[i]) ** 2))
-    vis_total = vis_total + out.points.visibility
+    li, gi = jax.value_and_grad(cam_loss)(probe, projections[i], poses[i],
+                                          targets[i])
+    losses.append(li)
+    vis_total = vis_total + gi[:, 0]
   expected = jnp.mean(jnp.asarray(losses))
 
   np.testing.assert_allclose(float(sharded), float(expected), rtol=1e-5)
@@ -136,22 +157,31 @@ def test_train_step_matches_single_device_visibility_aware():
       jax.device_put(projections, shard), jax.device_put(poses, shard),
       jax.device_put(targets, shard))
 
-  # single-device reference step
+  # single-device reference step (same probe threading as make_train_step:
+  # visibility = forward product on the sorted path + probe cotangent on
+  # the stream path — exactly one of the two is nonzero)
+  from tpu_splatting.rasterizer.stream_function import probe_width
   vis_cfg = dataclasses.replace(config, compute_visibility=True)
+  pw = probe_width(vis_cfg)
+  n = tensors["position"].shape[0]
+  probe = jnp.zeros((n, pw), jnp.float32)
 
-  def loss_fn(tensors):
+  def loss_fn(tensors, probe):
     g = Gaussians3D(**tensors)
-    losses, vis_total = [], 0.0
+    losses, vis_fwd = [], 0.0
     for i in range(b):
       cam = camera.replace(projection=projections[i],
                            T_camera_world=poses[i])
-      out = render_gaussians(g, cam, vis_cfg, max_overlaps=4096)
+      out = render_gaussians(g, cam, vis_cfg, max_overlaps=4096,
+                             probe=probe)
       losses.append(jnp.mean((out.image - targets[i]) ** 2))
-      vis_total = vis_total + out.points.visibility
-    return jnp.mean(jnp.asarray(losses)), vis_total
+      if out.points._visibility is not None:
+        vis_fwd = vis_fwd + out.points._visibility
+    return jnp.mean(jnp.asarray(losses)), vis_fwd
 
-  (ref_loss, vis), grads = jax.value_and_grad(
-      loss_fn, has_aux=True)(tensors)
+  (ref_loss, fwd_vis), (grads, gpr) = jax.value_and_grad(
+      loss_fn, argnums=(0, 1), has_aux=True)(tensors, probe)
+  vis = fwd_vis + gpr[:, 0]
   ref_opt = VisibilityAwareLaProp(groups)
   ref_tensors, _ = ref_opt.step(tensors, grads, ref_opt.init(tensors), vis)
 
