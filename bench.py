@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 import numpy as np
@@ -94,7 +95,9 @@ def bench_scene(name, packed, depth, feats, gw):
   from tpu_splatting.utils.benchmarked import benchmarked
 
   config = RasterConfig(compute_point_heuristic=True,
-                        compute_visibility=True)
+                        compute_visibility=True,
+                        stream_passes=int(
+                            os.environ.get("TPU_SPLAT_PASSES", "2")))
   packed = jnp.asarray(packed)
   depth = jnp.asarray(depth)
   feats = jnp.asarray(feats)
@@ -158,8 +161,9 @@ def main():
       "heavy": heavy_scene(np.random.default_rng(1), N, IMAGE_SIZE),
   }
   results = {}
+  gw = int(os.environ.get("TPU_SPLAT_GW", "2"))
   for name, (p, d, f) in scenes.items():
-    results[name] = bench_scene(name, p, d, f, gw=2)
+    results[name] = bench_scene(name, p, d, f, gw=gw)
 
   ms = results["uniform"][2]
   print(json.dumps({

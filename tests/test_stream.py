@@ -251,12 +251,14 @@ def test_stream_wide_gaussians_match_sorted():
 
 
 @pytest.mark.slow
-def test_stream_group_width8():
-  """gw=8 (the widest advertised group): one group per band, both tiles
-  of the group on an image edge — covers the edge-band fetch and the
-  edge-group shrunk k=0/k=2 gradient writes at full width."""
+@pytest.mark.parametrize("gw", [8, 4])
+def test_stream_group_width8(gw):
+  """gw=8 (the widest advertised group, one group per band, both tiles of
+  the group on an image edge — covers the edge-band fetch and the
+  edge-group shrunk k=0/k=2 gradient writes at full width) and gw=4 (two
+  groups per band: interior group boundaries at width 4)."""
   config = RasterConfig(tile_size=8, chunk_size=8)
-  image_size = (64, 24)   # tw=8 -> groups_x=1 at gw=8
+  image_size = (64, 24)   # tw=8 -> groups_x = 8 // gw
   n = 90
   packed, depths, feats = make_scene(5, n, image_size)
   tgt = jnp.asarray(
@@ -269,7 +271,7 @@ def test_stream_group_width8():
     out = rasterize_with_tiles(p, f, sm, image_size, config)
     return jnp.sum((out.image - tgt) ** 2) + jnp.sum(out.image_weight ** 2)
 
-  mm = stream_map(packed, depths, feats, image_size, config, group_width=8,
+  mm = stream_map(packed, depths, feats, image_size, config, group_width=gw,
                   wide_cap=64, dup_cap=256, **TIGHT)
   assert int(mm.num_overflow) == 0
 
