@@ -157,3 +157,20 @@ def test_autoencoder_example_converges():
   from examples.autoencoder import train
   _, loss = train(n=2000, steps=150, verbose=False)
   assert loss < 0.05, f"autoencoder failed to converge: {loss}"
+
+
+def test_render_ply_example(tmp_path):
+  """examples/render_ply.py: checkpoint PLY -> camera -> SH render -> image
+  (the reference's render-a-checkpoint user loop, BENCHMARK.md:32-44)."""
+  import sys
+  from pathlib import Path
+  sys.path.insert(0, str(Path(__file__).parent.parent))
+  from examples.render_ply import main
+
+  out = tmp_path / "render.npy"
+  wm = main([str(tmp_path / "synt.ply"), "--synthetic", "500",
+             "--image_size", "64,48", "--out", str(out)])
+  assert wm > 0
+  img = np.load(out)
+  assert img.shape == (48, 64, 3)
+  assert np.isfinite(img).all()
