@@ -11,17 +11,22 @@ are not available offline, so two synthetic scenes stand in:
   checkpoint statistics (long scale tail incl. splats spanning many tiles —
   exercises the wide-gaussian duplication path), same count/resolution.
 
-Both run the CONFIGURATION THE TRAINER USES (visibility + point heuristics
-on, gradients w.r.t. points and features, probe cotangents), through the
-production stream pipeline (tpu_splatting/rasterizer/stream*.py), with the
-loss computed in tile layout (no detile/entile transposes in the hot path —
-the trainer entiles its target once).  The mapping is rebuilt EVERY
-iteration (the reference protocol renders a new viewpoint per frame) and a
-run is only published if no overlaps were dropped (num_overflow == 0).
+The HEADLINE (``value``) is the FULL renderer on the uniform scene, matching
+the reference protocol (/root/reference/BENCHMARK.md:32-44, which times
+``render_gaussians`` end to end): 3D projection + SH degree 3 + tile mapping
++ rasterize forward AND backward, in the configuration the trainer uses
+(visibility + point heuristics, gradients w.r.t. all Gaussians3D leaves and
+the probe), all in ONE jit dispatch.  ``map_ms``/``raster_ms`` report the
+2D-only decomposition (pre-packed splats, tiled-layout loss) so the
+projection/SH delta is visible.
+
+Each scene is measured independently (a failure in one never invalidates
+the other); a scene's numbers are only published if its mapping reports
+num_overflow == 0 (per-cause counts go to stderr).
 
 Prints ONE line:
   {"metric": "synthetic_bicycle_2048px_fwd_bwd", "value": <headline ms>,
-   "unit": "ms", "vs_baseline": 35.1/value, "heavy_ms": ..., "map_ms": ...}
+   "unit": "ms", "vs_baseline": 35.1/value, ...per-scene keys...}
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ import numpy as np
 BASELINE_MS = 35.1  # diff_gaussian_rasterization, bicycle @ 2048, RTX 4090
 IMAGE_SIZE = (2048, 1536)
 N = 2_000_000
+DISPATCH_MS = 1.2   # measured per-dispatch tunnel overhead
 
 
 def uniform_scene(rng, n, image_size):
@@ -82,22 +88,82 @@ def heavy_scene(rng, n, image_size):
   return packed, depth.astype(np.float32), feats
 
 
-def bench_scene(name, packed, depth, feats, gw):
-  import dataclasses
+def lift_to_3d(packed, depth_ndc, feats, image_size, near, far, fov_deg):
+  """Lift a 2D bench scene to Gaussians3D + CameraParams whose projection
+  reproduces (approximately) the same screen-space statistics: each splat
+  sits on the camera ray through its 2D position at a metric depth mapped
+  from the scene's NDC depth, with in-plane 3D scales = pixel scales
+  * z / f and orientation = in-plane rotation about the view axis."""
+  import jax.numpy as jnp
 
+  from tpu_splatting import Gaussians3D
+  from tpu_splatting.perspective.params import CameraParams
+
+  w, h = image_size
+  fx = fy = 0.5 * w / math.tan(0.5 * math.radians(fov_deg))
+  cx, cy = w / 2.0, h / 2.0
+
+  # invert ndc_depth's mapping (perspective/projection.py): ndc linear in
+  # 1/z between near and far
+  z = 1.0 / (1.0 / near + depth_ndc * (1.0 / far - 1.0 / near))
+  x3 = (packed[:, 0] - cx) * z / fx
+  y3 = (packed[:, 1] - cy) * z / fy
+
+  s_px = packed[:, 4:6]
+  s3 = s_px * (z / fx)[:, None]
+  log_scaling = np.log(np.concatenate(
+      [s3, np.minimum(s3[:, :1], s3[:, 1:])], -1).astype(np.float32))
+
+  # in-plane rotation about the view (z) axis, xyzw quaternion
+  theta = np.arctan2(packed[:, 3], packed[:, 2])
+  quat = np.zeros((packed.shape[0], 4), np.float32)
+  quat[:, 2] = np.sin(0.5 * theta)
+  quat[:, 3] = np.cos(0.5 * theta)
+
+  a = np.clip(packed[:, 6], 1e-4, 1 - 1e-4)
+  alpha_logit = np.log(a / (1 - a)).astype(np.float32)[:, None]
+
+  # SH degree 3: DC carries the colour, small random higher-order terms
+  n = packed.shape[0]
+  sh = np.zeros((n, 3, 16), np.float32)
+  sh[:, :, 0] = feats / 0.28209479177387814
+  sh[:, :, 1:] = np.random.default_rng(3).normal(
+      0.0, 0.02, (n, 3, 15)).astype(np.float32)
+
+  g3d = Gaussians3D(
+      position=jnp.asarray(np.stack([x3, y3, z], -1).astype(np.float32)),
+      log_scaling=jnp.asarray(log_scaling),
+      rotation=jnp.asarray(quat),
+      alpha_logit=jnp.asarray(alpha_logit),
+      feature=jnp.asarray(sh))
+  cam = CameraParams(
+      projection=jnp.asarray([fx, fy, cx, cy], jnp.float32),
+      T_camera_world=jnp.eye(4, dtype=jnp.float32),
+      near_plane=near, far_plane=far, image_size=image_size)
+  return g3d, cam
+
+
+def _trainer_config(gw):
+  from tpu_splatting import RasterConfig
+  return RasterConfig(compute_point_heuristic=True,
+                      compute_visibility=True,
+                      stream_group_width=gw,
+                      stream_passes=int(
+                          os.environ.get("TPU_SPLAT_PASSES", "2")))
+
+
+def bench_scene(name, packed, depth, feats, gw):
+  """2D-protocol measurement: map dispatch + fwd+bwd dispatch on
+  pre-packed 2D splats with a tiled-layout loss."""
   import jax
   import jax.numpy as jnp
 
-  from tpu_splatting import RasterConfig
   from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
   from tpu_splatting.rasterizer.stream_function import (
-      probe_width, stream_rasterize_with_mapping, tile_mask)
+      entile, probe_width, stream_rasterize_with_mapping, tile_mask)
   from tpu_splatting.utils.benchmarked import benchmarked
 
-  config = RasterConfig(compute_point_heuristic=True,
-                        compute_visibility=True,
-                        stream_passes=int(
-                            os.environ.get("TPU_SPLAT_PASSES", "2")))
+  config = _trainer_config(gw)
   packed = jnp.asarray(packed)
   depth = jnp.asarray(depth)
   feats = jnp.asarray(feats)
@@ -115,7 +181,8 @@ def bench_scene(name, packed, depth, feats, gw):
   # the benchmark is only valid if NO overlaps were dropped
   m = jax.jit(map_f)(packed, depth, feats)
   overflow = int(m.num_overflow)
-  print(f"# {name} overflow {overflow}", file=sys.stderr)
+  print(f"# {name} overflow {overflow} by cause "
+        f"{[int(x) for x in m.overflow]}", file=sys.stderr)
   assert overflow == 0, f"{name}: benchmark invalid, {overflow} rows dropped"
 
   # tiled-layout loss: the trainer entiles its target ONCE; the fwd+bwd
@@ -123,7 +190,6 @@ def bench_scene(name, packed, depth, feats, gw):
   rngt = np.random.default_rng(7)
   tgt_full = jnp.asarray(
       rngt.random((IMAGE_SIZE[1], IMAGE_SIZE[0], 3)).astype(np.float32))
-  from tpu_splatting.rasterizer.stream_function import entile
   tgt = entile(tgt_full, m.tiles_wide, m.tiles_high, config.tile_size)
   mask = tile_mask(IMAGE_SIZE, m.tiles_wide, m.tiles_high, config.tile_size)
   pw = probe_width(config)
@@ -148,7 +214,79 @@ def bench_scene(name, packed, depth, feats, gw):
                        iters=3)
   ms_raster = benchmarked(f"{name} fwd+bwd", fwd_bwd,
                           (packed, feats, tgt, mask, m), iters=3)
-  return ms_map, ms_raster, ms_map + ms_raster + 2 * 1.2
+  return {f"{name}_map_ms": round(ms_map, 3),
+          f"{name}_raster_ms": round(ms_raster, 3),
+          f"{name}_ms": round(ms_map + ms_raster + 2 * DISPATCH_MS, 3),
+          f"{name}_cal": caps}
+
+
+def bench_full_renderer(name, packed, depth, feats, gw, caps=None):
+  """Reference-protocol measurement: the COMPLETE renderer — projection,
+  SH degree 3, tile mapping, rasterize fwd+bwd with heuristics — as one
+  jit dispatch, gradients w.r.t. every Gaussians3D leaf."""
+  import dataclasses
+
+  import jax
+  import jax.numpy as jnp
+
+  from tpu_splatting.rasterizer.stream import calibrate_stream
+  from tpu_splatting.perspective.projection import project_to_image
+  from tpu_splatting.renderer import render_with_heuristics
+  from tpu_splatting.utils.benchmarked import benchmarked
+
+  config = _trainer_config(gw)
+  g3d, cam = lift_to_3d(packed, depth, feats, IMAGE_SIZE,
+                        near=0.1, far=100.0, fov_deg=70.0)
+
+  if caps is None:
+    # calibrate on the PROJECTED splats (host CPU)
+    from tpu_splatting.perspective.projection import ndc_depth
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+      g3d_c = jax.device_put(jax.device_get(g3d), cpu)
+      cam_c = jax.device_put(jax.device_get(cam), cpu)
+      g2d, depths, _ = jax.jit(
+          lambda g: project_to_image(g, cam_c, config))(g3d_c)
+      nd = jnp.where(depths > 0,
+                     ndc_depth(depths, cam.near_plane, cam.far_plane), 0.0)
+      cal = calibrate_stream(g2d, nd,
+                             jax.device_put(jnp.asarray(feats), cpu),
+                             IMAGE_SIZE, config, group_width=gw)
+    print(f"# {name} full-renderer calibration: {cal}", file=sys.stderr)
+    caps = {k: cal[k] for k in ("num_slabs", "strip_cap", "slab_cap",
+                                "w_max", "run_cap", "wide_cap", "dup_cap")}
+  cfg = dataclasses.replace(
+      config,
+      stream_num_slabs=caps["num_slabs"],
+      stream_strip_cap=caps["strip_cap"],
+      stream_slab_cap=caps["slab_cap"],
+      stream_w_max=caps["w_max"],
+      stream_run_cap=caps["run_cap"],
+      stream_wide_cap=caps["wide_cap"],
+      stream_dup_cap=caps["dup_cap"])
+
+  rngt = np.random.default_rng(7)
+  tgt = jnp.asarray(
+      rngt.random((IMAGE_SIZE[1], IMAGE_SIZE[0], 3)).astype(np.float32))
+
+  def loss_fn(rendering):
+    err = rendering.image - tgt
+    return jnp.sum(err * err)
+
+  @jax.jit
+  def step(g):
+    loss, rendering, grads = render_with_heuristics(
+        loss_fn, g, cam, cfg, use_sh=True)
+    return loss, grads, rendering.num_overflow, rendering.overflow_by_cause
+
+  _, _, overflow, by_cause = step(g3d)
+  print(f"# {name} full overflow {int(overflow)} by cause "
+        f"{[int(x) for x in by_cause]}", file=sys.stderr)
+  assert int(overflow) == 0, (
+      f"{name} full: benchmark invalid, {int(overflow)} rows dropped")
+
+  ms = benchmarked(f"{name} full renderer", step, (g3d,), iters=3)
+  return {f"{name}_full_ms": round(ms + DISPATCH_MS, 3)}
 
 
 def main():
@@ -160,22 +298,33 @@ def main():
       "uniform": uniform_scene(rng, N, IMAGE_SIZE),
       "heavy": heavy_scene(np.random.default_rng(1), N, IMAGE_SIZE),
   }
-  results = {}
   gw = int(os.environ.get("TPU_SPLAT_GW", "2"))
-  for name, (p, d, f) in scenes.items():
-    results[name] = bench_scene(name, p, d, f, gw=gw)
 
-  ms = results["uniform"][2]
-  print(json.dumps({
-      "metric": "synthetic_bicycle_2048px_fwd_bwd",
-      "value": round(ms, 3),
-      "unit": "ms",
-      "vs_baseline": round(BASELINE_MS / ms, 4),
-      "map_ms": round(results["uniform"][0], 3),
-      "raster_ms": round(results["uniform"][1], 3),
-      "heavy_ms": round(results["heavy"][2], 3),
-      "heavy_map_ms": round(results["heavy"][0], 3),
-  }))
+  out = {"metric": "synthetic_bicycle_2048px_fwd_bwd", "unit": "ms"}
+  errors = {}
+  for name, (p, d, f) in scenes.items():
+    try:
+      out.update(bench_scene(name, p, d, f, gw=gw))
+    except Exception as e:  # a scene failure never zeroes the others
+      errors[name] = str(e)[:200]
+      print(f"# {name} FAILED: {e}", file=sys.stderr)
+  try:
+    p, d, f = scenes["uniform"]
+    out.update(bench_full_renderer("uniform", p, d, f, gw=gw))
+  except Exception as e:
+    errors["uniform_full"] = str(e)[:200]
+    print(f"# uniform full FAILED: {e}", file=sys.stderr)
+
+  # headline: the full renderer (reference protocol); fall back to the
+  # 2D-only frame if the full path failed, then to -1
+  ms = out.get("uniform_full_ms", out.get("uniform_ms", -1))
+  out["value"] = round(ms, 3) if ms > 0 else -1
+  out["vs_baseline"] = round(BASELINE_MS / ms, 4) if ms > 0 else 0.0
+  if errors:
+    out["errors"] = errors
+  for k in ("uniform_cal", "heavy_cal"):
+    out.pop(k, None)
+  print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -119,3 +119,20 @@ def test_render_use_depth16():
   diff = float(jnp.abs(out32.image - out16.image).max())
   assert diff < 0.2
   assert float(jnp.abs(out32.image - out16.image).mean()) < 1e-3
+
+
+@pytest.mark.slow
+def test_visibility_stream_matches_sorted():
+  """config.compute_visibility must work on BOTH pipelines: the stream
+  path fills points.visibility via a zero-cotangent backward dispatch
+  (renderer.py), matching the sorted pipeline's forward-computed values."""
+  gaussians, camera = make_scene(3)
+  out_t = jax.jit(lambda g: render_gaussians(
+      g, camera, small_cfg(compute_visibility=True,
+                           pipeline="stream")))(gaussians)
+  out_s = jax.jit(lambda g: render_gaussians(
+      g, camera, small_cfg(compute_visibility=True, pipeline="sorted"),
+      max_overlaps=8192))(gaussians)
+  np.testing.assert_allclose(np.asarray(out_t.points.visibility),
+                             np.asarray(out_s.points.visibility),
+                             atol=1e-4, rtol=1e-3)

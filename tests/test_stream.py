@@ -378,3 +378,104 @@ def test_stream_depth12_key_layout():
   np.testing.assert_allclose(np.asarray(w_t),
                              np.asarray(out_s.image_weight),
                              atol=1e-5, rtol=1e-5)
+
+
+def test_stream_overflow_by_cause():
+  """num_overflow splits into per-cause counters [wide, strip, slab, run,
+  window] that sum to it — a trainer can tell WHICH capacity to bump."""
+  rng = np.random.default_rng(13)
+  n, image_size = 40, (64, 48)
+  g2 = random_2d_gaussians(rng, n, image_size, num_channels=3,
+                           scale_factor=0.3, alpha_range=(0.3, 0.9),
+                           dtype=jnp.float32)
+  packed = np.array(project_gaussians2d(g2), copy=True)
+  packed[:5, 0:2] = np.asarray([[32.0, 24.0]] * 5)
+  packed[:5, 4:6] = 20.0
+  packed[5:, 4:6] = 1.0
+  packed = jnp.asarray(packed)
+  depths = jnp.asarray(rng.permutation(n).astype(np.float32) + 0.5) / n
+  config = RasterConfig(tile_size=8, chunk_size=8)
+
+  # wide splats with duplication disabled land in cause 0 (wide)
+  mm = stream_map(packed, depths, g2.feature, image_size, config,
+                  group_width=2, num_slabs=2, strip_cap=128, slab_cap=64,
+                  w_max=16, run_cap=16, dup_cap=0)
+  ov = np.asarray(mm.overflow)
+  assert ov.shape == (5,)
+  assert ov[0] == 5 and ov.sum() == int(mm.num_overflow) == 5
+
+  # a tiny slab_cap lands in cause 2 (slab)
+  mm2 = stream_map(packed, depths, g2.feature, image_size, config,
+                   group_width=2, num_slabs=1, strip_cap=128, slab_cap=8,
+                   w_max=16, run_cap=16, dup_cap=512)
+  ov2 = np.asarray(mm2.overflow)
+  assert ov2[2] > 0 and ov2.sum() == int(mm2.num_overflow)
+
+
+@pytest.mark.slow
+def test_calibrate_wide_scene_no_overflow():
+  """Round-3 regression: calibration must measure with the FINAL
+  wide_cap/dup_cap threaded in — on a scene whose duplicate rows rival the
+  main rows in hot tiles, caps sized from duplication-free statistics
+  overflow.  The calibration contract is num_overflow == 0 at the
+  returned capacities."""
+  rng = np.random.default_rng(29)
+  n, image_size = 1500, (64, 48)
+  packed = np.zeros((n, 7), np.float32)
+  # heavy clustering + a fat wide tail, miniature of bench.py heavy_scene
+  centres = np.stack([rng.uniform(0, 64, 16), rng.uniform(0, 48, 16)], 1)
+  pos = centres[rng.integers(0, 16, n)] + rng.normal(0, 4.0, (n, 2))
+  packed[:, 0] = np.clip(pos[:, 0], 0, 63)
+  packed[:, 1] = np.clip(pos[:, 1], 0, 47)
+  theta = rng.uniform(0, np.pi, n)
+  packed[:, 2] = np.cos(theta)
+  packed[:, 3] = np.sin(theta)
+  s = np.exp(rng.normal(0.2, 0.9, n)).astype(np.float32)
+  packed[:, 4] = np.clip(s, 0.05, 30.0)
+  packed[:, 5] = np.clip(s * np.exp(-np.abs(rng.normal(0, 0.7, n))),
+                         0.05, 30.0).astype(np.float32)
+  packed[:, 6] = rng.uniform(0.3, 0.95, n)
+  packed = jnp.asarray(packed)
+  depths = jnp.asarray(rng.permutation(n).astype(np.float32) + 0.5) / n
+  feats = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+  config = RasterConfig(tile_size=8, chunk_size=8)
+
+  cal = calibrate_stream(packed, depths, feats, image_size, config,
+                         group_width=2, slab_cap=64)
+  assert cal["num_dup_rows"] > 200, "scene must exercise duplication"
+  mm = stream_map(packed, depths, feats, image_size, config,
+                  group_width=2, num_slabs=cal["num_slabs"],
+                  strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
+                  w_max=cal["w_max"], run_cap=cal["run_cap"],
+                  wide_cap=cal["wide_cap"], dup_cap=cal["dup_cap"])
+  assert int(mm.num_overflow) == 0, (
+      cal, [int(x) for x in mm.overflow])
+
+
+def test_stream_banded_backward_matches():
+  """The band-chunked backward (scan over band chunks with halo merge,
+  for scenes whose gradient-slab buffer exceeds the HBM budget) must
+  produce the same gradients as the single-pass backward."""
+  import dataclasses
+  config = RasterConfig(tile_size=8, chunk_size=8)
+  image_size, n = (32, 24), 80
+  packed, depths, feats = make_scene(5, n, image_size)
+  mm = stream_map(packed, depths, feats, image_size, config,
+                  group_width=2, **TIGHT)
+  assert int(mm.num_overflow) == 0
+
+  def grads(cfg):
+    def loss(p, f_):
+      img, w = stream_rasterize_with_mapping(p, f_, mm, image_size, cfg)
+      return jnp.sum(img * img) + jnp.sum(w)
+    return jax.grad(loss, argnums=(0, 1))(packed, feats)
+
+  g_ref = grads(config)
+  cfg_banded = dataclasses.replace(config, stream_gout_budget_mb=1)
+  # make sure the tiny budget actually triggers chunking on this scene
+  from tpu_splatting.rasterizer.stream_function import _gout_band_bytes
+  assert mm.tiles_high * _gout_band_bytes(mm, mm.run_cap) > (1 << 20)
+  g_banded = grads(cfg_banded)
+  for a, b in zip(g_ref, g_banded):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-6, rtol=1e-6)

@@ -112,6 +112,14 @@ class RasterConfig:
   # cheaper forward/backward).  CPU interpret mode is always exact.
   stream_passes: int = 2
 
+  # HBM budget (MB) for the backward's per-group gradient-slab blocks.
+  # Scenes with very long home runs (run_cap in the thousands) would need
+  # a gout buffer far beyond HBM; when the full buffer exceeds this
+  # budget the backward runs band-chunked inside one lax.scan, keeping
+  # only a sliding window of slab blocks live (stream_function.py).
+  # 0 disables chunking (always single-pass).
+  stream_gout_budget_mb: int = 4096
+
   @property
   def tile_area(self) -> int:
     return self.tile_size * self.tile_size

@@ -24,7 +24,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..data_types import Gaussians3D, RasterConfig
 from ..optim import GroupConfig, VisibilityAwareLaProp
@@ -84,7 +84,7 @@ def data_parallel_loss(mesh: Mesh, camera_template: CameraParams,
       per_shard, mesh=mesh,
       in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
       out_specs=(P(), P()),
-      check_rep=False)
+      check_vma=False)
 
 
 def make_train_step(mesh: Mesh, camera_template: CameraParams,
@@ -141,4 +141,4 @@ def sharded_projection(mesh: Mesh, camera: CameraParams,
       per_shard, mesh=mesh,
       in_specs=(P(axis_name),),
       out_specs=(P(), P(), P()),
-      check_rep=False)
+      check_vma=False)

@@ -34,7 +34,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..data_types import RasterConfig
 from ..rasterizer.stream import StreamMapping
@@ -45,10 +45,16 @@ from ..rasterizer.stream_function import reduce_stage2
 
 def _local_mapping(mapping: StreamMapping, desc, strip_blk, table,
                    run_starts, overflow, th_local: int) -> StreamMapping:
+  # grad_src/dup_src/dup_pid are only read by the replicated stage-2
+  # gathers OUTSIDE the shard body — blank them here so the closed-over
+  # host arrays never leak into the shard_map trace
+  zero_i = jnp.zeros((0,), jnp.int32)
   return dataclasses.replace(
       mapping, desc=desc, strip_blk=strip_blk, table=table,
-      run_starts=run_starts, num_overflow=overflow,
-      tiles_high=th_local, num_tiles=mapping.tiles_wide * th_local)
+      run_starts=run_starts, num_overflow=overflow[0],
+      overflow=overflow[1], grad_src=zero_i, dup_src=zero_i,
+      dup_pid=zero_i, tiles_high=th_local,
+      num_tiles=mapping.tiles_wide * th_local)
 
 
 def band_sharded_forward(mapping: StreamMapping, config: RasterConfig,
@@ -71,11 +77,11 @@ def band_sharded_forward(mapping: StreamMapping, config: RasterConfig,
 
   f = shard_map(
       per_shard, mesh=mesh,
-      in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+      in_specs=(P(axis_name), P(axis_name), P(), P(), (P(), P())),
       out_specs=P(axis_name),
-      check_rep=False)
+      check_vma=False)
   return f(mapping.desc, mapping.strip_blk, mapping.table,
-           mapping.run_starts, mapping.num_overflow)
+           mapping.run_starts, (mapping.num_overflow, mapping.overflow))
 
 
 def band_sharded_grad(mapping: StreamMapping, g_image_tiled,
@@ -122,11 +128,13 @@ def band_sharded_grad(mapping: StreamMapping, g_image_tiled,
 
   fn = shard_map(
       per_shard, mesh=mesh,
-      in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(axis_name)),
+      in_specs=(P(axis_name), P(axis_name), P(), P(), (P(), P()),
+                P(axis_name)),
       out_specs=(P(axis_name), tuple(P() for _ in range(slabw))),
-      check_rep=False)
+      check_vma=False)
   img, acc_cols = fn(mapping.desc, mapping.strip_blk, mapping.table,
-                     mapping.run_starts, mapping.num_overflow,
+                     mapping.run_starts,
+                     (mapping.num_overflow, mapping.overflow),
                      g_image_tiled)
   cols = reduce_stage2(list(acc_cols), mapping, rc)
   return img, cols

@@ -79,13 +79,26 @@ class StreamMapping:
     RUN_CAP-strided slab-buffer row.
   strip_blk: (GROUPS, 3) i32 — S_CAP-block index of each band strip.
   run_starts: (T+1,) i32 — global first-row index of each home's run.
-  num_overflow: () i32 — rows dropped by capacity clamps.
+  num_overflow: () i32 — rows dropped by capacity clamps (overflow.sum()).
+  overflow: (5,) i32 — the same count split by cause
+    [wide/dup, strip, slab, run, window]; see OVERFLOW_CAUSES.
+  grad_src: (N,) i32 — per CALLER point, the home-major gradient-buffer
+    row (home * run_cap + in-run offset) its backward gradient lands in;
+    T * run_cap marks "no row" (culled / run-clamped -> zero gradient).
+    Computed at map time so the gradient reduce is pure gathers — no
+    R-sized compaction sort, no N-sized pid sort (stream_function.py).
+  dup_src / dup_pid: (dup_cap,) i32 — gradient-buffer rows of wide-splat
+    duplicate rows and the point each scatter-adds onto (N marks unused).
   """
   table: jnp.ndarray
   desc: jnp.ndarray
   strip_blk: jnp.ndarray
   run_starts: jnp.ndarray
   num_overflow: jnp.ndarray
+  overflow: jnp.ndarray
+  grad_src: jnp.ndarray
+  dup_src: jnp.ndarray
+  dup_pid: jnp.ndarray
 
   # static metadata
   num_points: int
@@ -110,7 +123,8 @@ class StreamMapping:
 jax.tree_util.register_dataclass(
     StreamMapping,
     data_fields=["table", "desc", "strip_blk", "run_starts",
-                 "num_overflow"],
+                 "num_overflow", "overflow", "grad_src", "dup_src",
+                 "dup_pid"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
                  "feature_size", "group_width", "num_slabs", "strip_cap",
                  "slab_cap", "w_max", "run_cap", "dup_cap",
@@ -141,6 +155,15 @@ CLASS_RANGES = ((1, 3), (0, 4), (2, 4))
 
 # strip scratch slack (the kernels' largest tiered copy)
 STRIP_SLACK = 512
+
+# per-cause overflow counter order (StreamMapping.overflow):
+#   wide — wide splats beyond wide_cap / clipped spans / dup rows beyond
+#          dup_cap (or, with dup_cap == 0, span tiles outside 3x3 cores)
+#   strip — band strips longer than 2 * strip_cap
+#   slab — single depth cells of one tile exceeding slab_cap
+#   run — home runs clamped to run_cap in the backward's slab buffers
+#   window — nonempty fetch windows beyond w_max per (tile, slab)
+OVERFLOW_CAUSES = ("wide", "strip", "slab", "run", "window")
 
 
 @functools.partial(
@@ -524,15 +547,58 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   desc = desc.reshape(n_groups, 1, gw * s_edges * w_max * 4)
 
   slab_over = jnp.maximum(counts - slab_cap, 0).sum(dtype=jnp.int32)
-  num_overflow = (num_far + strip_over.sum(dtype=jnp.int32) + slab_over
-                  + run_over + win_over)
+  overflow = jnp.stack([num_far, strip_over.sum(dtype=jnp.int32),
+                        slab_over, run_over, win_over])
+
+  # ---- map-time gradient gather indices ---------------------------------
+  # The backward's merged gradient buffer is home-major with RUN_CAP
+  # strides; sorted row j lands at home(j) * run_cap + (j - run start).
+  # Inverting the pid permutation HERE (cheap i32 ops on data the sort
+  # already produced) turns the whole gradient reduce into per-column
+  # gathers — the R-sized compaction sort and the N-sized pid sort of the
+  # f32 gradient columns disappear from the backward graph entirely.
+  run_starts = edges_all[0::16 * s_edges]
+  zero_i = jnp.zeros((0,), jnp.int32)
+  if build_table:
+    r_rows = num_tiles * run_cap
+    pos = jnp.arange(n_rows, dtype=jnp.int32)
+    skey_r = skey[:n_rows]
+    home_j = (skey_r >> jnp.uint32(db + 4)).astype(jnp.int32)
+    home_c = jnp.clip(home_j, 0, num_tiles - 1)
+    row_off = pos - run_starts[home_c]
+    ok_row = ((skey_r != jnp.uint32(0xFFFFFFFF)) & (row_off >= 0)
+              & (row_off < run_cap) & (home_j < num_tiles))
+    gout_row = jnp.where(ok_row, home_c * run_cap + row_off, r_rows)
+    pid_sorted = s[1].astype(jnp.int32)
+    is_main = pid_sorted < n
+    grad_src = jnp.full((n + 1,), r_rows, jnp.int32).at[
+        jnp.where(is_main, pid_sorted, n)].set(gout_row)[:n]
+    if dup_cap > 0:
+      gout_row_ext = jnp.concatenate(
+          [gout_row, jnp.full((1,), r_rows, jnp.int32)])
+      pid_ext = jnp.concatenate(
+          [pid_sorted, jnp.full((1,), 2 * n, jnp.int32)])
+      (dpos,) = jnp.nonzero((pid_sorted >= n) & (pid_sorted < 2 * n),
+                            size=dup_cap, fill_value=n_rows)
+      dpos = dpos.astype(jnp.int32)
+      dup_src = gout_row_ext[dpos]
+      dup_pid = jnp.where(dpos < n_rows, pid_ext[dpos] - n, n).astype(
+          jnp.int32)
+    else:
+      dup_src = dup_pid = zero_i
+  else:
+    grad_src = dup_src = dup_pid = zero_i
 
   return StreamMapping(
       table=table,
       desc=desc,
       strip_blk=strip_blk.astype(jnp.int32),
-      run_starts=edges_all[0::16 * s_edges],
-      num_overflow=num_overflow,
+      run_starts=run_starts,
+      num_overflow=overflow.sum(),
+      overflow=overflow,
+      grad_src=grad_src,
+      dup_src=dup_src,
+      dup_pid=dup_pid,
       num_points=n,
       num_tiles=num_tiles,
       tiles_wide=tw,
@@ -578,32 +644,42 @@ def wide_stats(gaussians, depth, image_size, config: RasterConfig):
           jnp.where(wide, dup, 0).sum(dtype=jnp.int32))
 
 
+MAX_SLABS = 32
+
+
 def calibrate_stream(gaussians, depth, features, image_size,
                      config: RasterConfig, group_width: int = 8,
                      slab_cap: int = 512) -> dict:
   """Measure fetch statistics and suggest static stream capacities.
 
-  Returns {num_slabs (cells), strip_cap, slab_cap, w_max, run_cap} such
-  that a stream_map built with them reports num_overflow == 0 on this
-  scene (with headroom).
+  Returns {num_slabs (cells), strip_cap, slab_cap, w_max, run_cap,
+  wide_cap, dup_cap} such that a stream_map built with them reports
+  num_overflow == 0 on this scene (with headroom) — VERIFIED: the final
+  pass replays the map at exactly the returned capacities and the loop
+  only exits when every per-cause overflow counter reads zero (or the
+  retry budget is exhausted, reported in the "overflow" key).
 
   Runs entirely on the host CPU (``jax.default_device``): calibration is a
   sizing tool, and compiling the mapper's measurement variant on the TPU
-  tunnel costs minutes for no benefit.  Two passes: pass 1 with unbounded
-  capacities measures strip/run/row maxima; pass 2 replays the ACTUAL
-  greedy slab plan at the chosen (num_slabs, slab_cap), because the
-  per-slab window count the kernels need (w_max) is much higher when deep
-  tiles split into multiple slabs (class chains break at cell boundaries)
-  than pass 1's fully-merged plan would suggest."""
+  tunnel costs minutes for no benefit.  Passes: wide-splat stats size
+  wide_cap/dup_cap FIRST (duplicate rows change every downstream
+  statistic — at checkpoint-statistics scenes they are ~40% of all rows);
+  pass 1 with unbounded capacities measures strip/run/row maxima WITH
+  duplication active; pass 2 replays the ACTUAL greedy slab plan at the
+  chosen (num_slabs, slab_cap), because the per-slab window count the
+  kernels need (w_max) is much higher when deep tiles split into multiple
+  slabs than pass 1's fully-merged plan would suggest; pass 3 validates
+  the complete capacity set against the per-cause overflow counters and
+  bumps whichever capacity still overflows."""
   import numpy as np
   cpu = jax.devices("cpu")[0]
   gw = group_width
 
-  def measure(num_slabs, s_cap, c_cap, r_cap):
+  def measure(num_slabs, s_cap, c_cap, r_cap, wide_cap, dup_cap):
     m = stream_map(gaussians, depth, features, image_size, config,
                    num_slabs=num_slabs, strip_cap=s_cap, slab_cap=c_cap,
                    group_width=gw, w_max=64, run_cap=r_cap,
-                   build_table=False)
+                   build_table=False, wide_cap=wide_cap, dup_cap=dup_cap)
     desc = np.asarray(jax.device_get(m.desc)).reshape(
         m.num_groups, gw, num_slabs, 64, 4)
     return m, desc[..., 1]
@@ -613,8 +689,20 @@ def calibrate_stream(gaussians, depth, features, image_size,
     depth = jax.device_put(depth, cpu)
     features = jax.device_put(features, cpu)
 
+    # ---- pass 0: wide-splat capacities --------------------------------
+    # Sized FIRST so every later measurement includes the duplicate rows.
+    # 0 when the scene has none (the dup machinery costs ~20 ms/frame at
+    # 2M points even when idle — measured); overflow counters catch drift.
+    n_wide, n_dup = (int(x) for x in
+                     wide_stats(gaussians, depth, image_size, config))
+    if n_wide == 0:
+      wide_cap = dup_cap = 0
+    else:
+      wide_cap = max(64, 1 << (int(n_wide * 1.3)).bit_length())
+      dup_cap = max(256, 1 << (int(n_dup * 1.3)).bit_length())
+
     # ---- pass 1: unbounded capacities -> row/strip/run maxima ----------
-    m, lens = measure(4, 1 << 27, 1 << 27, 1 << 27)
+    m, lens = measure(4, 1 << 27, 1 << 27, 1 << 27, wide_cap, dup_cap)
     tw, th = m.tiles_wide, m.tiles_high
     max_rows = int(lens.sum((2, 3)).max())
 
@@ -645,29 +733,46 @@ def calibrate_stream(gaussians, depth, features, image_size,
       run_cap *= 2
 
     # ---- pass 2: replay the actual plan at (num_slabs, slab_cap) -------
-    num_slabs = min(12, max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
-    for _ in range(3):
-      _, lens2 = measure(num_slabs, 1 << 27, slab_cap, 1 << 27)
+    num_slabs = min(MAX_SLABS,
+                    max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
+    for _ in range(6):
+      _, lens2 = measure(num_slabs, 1 << 27, slab_cap, 1 << 27,
+                         wide_cap, dup_cap)
       max_slab_rows = int(lens2.sum(3).max())
-      if max_slab_rows <= slab_cap or num_slabs >= 12:
+      if max_slab_rows <= slab_cap or num_slabs >= MAX_SLABS:
         break
-      num_slabs = min(12, num_slabs + 2)   # finer cells split hot slabs
-    w_max = int((lens2 > 0).sum(3).max())
+      num_slabs = min(MAX_SLABS, num_slabs + 2)  # finer cells split slabs
+    w_max = min(64, int((lens2 > 0).sum(3).max()) + 2)
 
-    # wide-splat capacities: 0 when the scene has none (the dup machinery
-    # costs ~20 ms/frame at 2M points even when idle — measured), sized
-    # with headroom otherwise.  Overflow counters catch scene drift.
-    n_wide, n_dup = (int(x) for x in
-                     wide_stats(gaussians, depth, image_size, config))
-    if n_wide == 0:
-      wide_cap = dup_cap = 0
-    else:
-      wide_cap = max(64, 1 << (int(n_wide * 1.3)).bit_length())
-      dup_cap = max(256, 1 << (int(n_dup * 1.3)).bit_length())
+    # ---- pass 3: validate the COMPLETE capacity set --------------------
+    # Replay at exactly the capacities the caller will use and respond to
+    # each per-cause counter: pass 1/2 measured with some caps unbounded,
+    # and the interactions (e.g. strip clamps shifting window lengths)
+    # only surface with everything bounded at once.
+    over = None
+    for _ in range(6):
+      m3, lens3 = measure(num_slabs, strip_cap, slab_cap, run_cap,
+                          wide_cap, dup_cap)
+      over = np.asarray(jax.device_get(m3.overflow))
+      w_seen = int((lens3 > 0).sum(3).max())
+      if over.sum() == 0 and w_seen <= w_max:
+        break
+      if over[0] > 0:                      # wide/dup
+        wide_cap = max(64, wide_cap * 2)
+        dup_cap = max(256, dup_cap * 2)
+      if over[1] > 0:                      # strip
+        strip_cap *= 2
+      if over[2] > 0:                      # slab: finer depth cells
+        num_slabs = min(MAX_SLABS, num_slabs + 4)
+      if over[3] > 0:                      # run
+        run_cap *= 2
+      if over[4] > 0 or w_seen > w_max:    # window
+        w_max = min(64, max(w_max, w_seen) + 2)
 
   return {"num_slabs": num_slabs, "strip_cap": strip_cap,
-          "slab_cap": slab_cap, "w_max": min(64, w_max + 2),
+          "slab_cap": slab_cap, "w_max": w_max,
           "run_cap": run_cap, "wide_cap": wide_cap, "dup_cap": dup_cap,
+          "overflow": [int(x) for x in over],
           "max_tile_rows": max_rows,
           "max_strip_rows": strip_len, "max_run": max_run,
           "max_slab_rows": max_slab_rows, "num_wide": n_wide,

@@ -21,6 +21,7 @@ untested/wrong — see function.py:31-36).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 from typing import Optional, Tuple
 
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data_types import RasterConfig
-from .stream import StreamMapping, stream_map
+from .stream import STRIP_SLACK, StreamMapping, stream_map
 from .stream_kernels import slab_width, stream_backward, stream_forward
 
 
@@ -46,9 +47,8 @@ def _float0(x):
 def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
                   run_cap: int, slabw: int):
   """Reduce the per-group gradient slab blocks to per-point gradient
-  COLUMNS in the caller's point order: Pallas 9-slab merge, one R-sized
-  compaction sort (drop run padding), one N-sized inverse sort back to
-  original pids.  Returns ``slabw`` 1D (n,) columns — everything stays
+  COLUMNS in the caller's point order: Pallas 9-slab merge + per-column
+  gathers.  Returns ``slabw`` 1D (n,) columns — everything stays
   column-wise: a (n, slabw) intermediate tile-pads ~10x in HBM and its
   per-column slice reads don't fuse (each reads full (8,128) tiles)."""
   n = mapping.num_points
@@ -66,49 +66,115 @@ def stream_reduce(gout: jnp.ndarray, mapping: StreamMapping,
   return reduce_stage2(acc_cols, mapping, run_cap)
 
 
+def _gout_band_bytes(mapping: StreamMapping, run_cap: int) -> int:
+  """HBM bytes of ONE tile band's gradient-slab blocks (lanes pad to
+  128 under the (8, 128) tiling)."""
+  gw = mapping.group_width
+  groups_x = mapping.tiles_wide // gw
+  rows_g = (gw + 2) * run_cap + STRIP_SLACK
+  return groups_x * rows_g * 128 * 4
+
+
+def _pick_band_chunk(th: int, band_bytes: int, budget: int) -> int:
+  """Largest band-chunk size K dividing th whose scan working set
+  (~(3K+4) band-rows of slab blocks live at once) fits the budget."""
+  best = 1
+  for k in range(1, th + 1):
+    if th % k == 0 and (3 * k + 4) * band_bytes <= budget:
+      best = k
+  return best
+
+
+def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
+                    config: RasterConfig, run_cap: int, slabw: int):
+  """Backward kernel + slab merge, single-pass or band-chunked.
+
+  The per-group slab blocks cost (gw+2)*run_cap rows x 128 lanes per
+  group; long-run scenes (run_cap in the thousands) would need hundreds
+  of GB for the full buffer.  When it exceeds
+  ``config.stream_gout_budget_mb`` the backward runs band-chunked in one
+  ``lax.scan``: each step renders K tile bands' slab blocks and merges
+  the PREVIOUS K bands (whose +-1-band halo is then complete) via the
+  merge kernel's halo mode — the same one-band-lookahead dataflow as the
+  multi-chip band sharding (parallel/stream_sharded.py), sequential
+  instead of spatial.  Returns per-point gradient columns in the
+  caller's point order."""
+  from .stream_kernels import merge_grad_slabs
+  th = mapping.tiles_high
+  band_bytes = _gout_band_bytes(mapping, run_cap)
+  budget = config.stream_gout_budget_mb * (1 << 20)
+  if budget <= 0 or th * band_bytes <= budget:
+    gout = stream_backward(mapping, image_tiled, g_image_tiled, config,
+                           run_cap)
+    acc_cols = merge_grad_slabs(gout, mapping, run_cap, slabw)
+    return reduce_stage2(acc_cols, mapping, run_cap)
+
+  k = _pick_band_chunk(th, band_bytes, budget)
+  gw = mapping.group_width
+  tw = mapping.tiles_wide
+  groups_x = tw // gw
+  gpc = k * groups_x                     # groups per chunk
+  tpc = k * tw                           # tiles per chunk
+  chunks = th // k
+  rows_g = (gw + 2) * run_cap + STRIP_SLACK
+  lanes = 9 * slabw
+  lm = dataclasses.replace(                 # K-band local mapping
+      mapping, tiles_high=k, num_tiles=tw * k)
+
+  def chunk_bwd(i):
+    d = jax.lax.dynamic_slice_in_dim(mapping.desc, i * gpc, gpc, 0)
+    sb = jax.lax.dynamic_slice_in_dim(mapping.strip_blk, i * gpc, gpc, 0)
+    im = jax.lax.dynamic_slice_in_dim(image_tiled, i * tpc, tpc, 0)
+    gi = jax.lax.dynamic_slice_in_dim(g_image_tiled, i * tpc, tpc, 0)
+    lmc = dataclasses.replace(lm, desc=d, strip_blk=sb)
+    return stream_backward(lmc, im, gi, config, run_cap, band0=i * k)
+
+  def body(carry, i):
+    # carry: slab blocks of bands [(i-1)k - 1, i*k) — the merged chunk's
+    # own bands plus its band-above halo; the band-below halo is the
+    # first band of THIS step's chunk (zeros past the last chunk).
+    gout_i = jax.lax.cond(
+        i < chunks, chunk_bwd,
+        lambda _: jnp.zeros((gpc, rows_g, lanes), jnp.float32), i)
+    gout_ext = jnp.concatenate([carry, gout_i[:groups_x]], 0)
+    cols = merge_grad_slabs(gout_ext, lm, run_cap, slabw, halo=True)
+    new_carry = jnp.concatenate([carry[carry.shape[0] - groups_x:],
+                                 gout_i], 0)
+    return new_carry, jnp.stack(cols)          # (slabw, k*tw*run_cap)
+
+  carry0 = jnp.concatenate(
+      [jnp.zeros((groups_x, rows_g, lanes), jnp.float32), chunk_bwd(0)], 0)
+  _, ys = jax.lax.scan(body, carry0, jnp.arange(1, chunks + 1))
+  # ys: (chunks, slabw, k*tw*rc) -> slabw home-major (T*rc,) columns
+  acc = jnp.moveaxis(ys, 1, 0).reshape(slabw, th * tw * run_cap)
+  return reduce_stage2([acc[c] for c in range(slabw)], mapping, run_cap)
+
+
 def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
   """Stage 2 of the gradient reduce: home-major (R,) columns -> caller-
-  point-order (n,) columns.  One R-sized compaction sort (drop run
-  padding), one N-sized inverse pid sort, wide-splat duplicate rows
-  scatter-added.  Also the tail of the band-sharded path
+  point-order (n,) columns, as pure gathers over the map-time
+  ``grad_src`` indices (stream.py computes them from data the mapping
+  sort already produced).  Replaces an R-sized compaction sort plus an
+  N-sized pid sort of every f32 gradient column — at heavy-scene run
+  capacities R reaches ~50M rows, where the sorts cost >100 ms while the
+  gathers touch exactly n + dup_cap rows.  Wide-splat duplicate rows
+  scatter-add onto their point.  Also the tail of the band-sharded path
   (parallel/stream_sharded.py) after its all_gather."""
-  n = mapping.num_points
   r_rows = mapping.num_tiles * run_cap
+  assert mapping.grad_src.shape[0] == mapping.num_points, (
+      "mapping was built with build_table=False (calibration only)")
+  with_dup = mapping.dup_cap > 0
 
-  # --- compact away run padding (stable sort by is-padding) -------------
-  n_rows = n + mapping.dup_cap
-  row = jnp.arange(r_rows, dtype=jnp.int32)
-  run_lens = jnp.minimum(mapping.run_starts[1:] - mapping.run_starts[:-1],
-                         run_cap)
-  pad_row = (row % run_cap) >= jnp.repeat(run_lens, run_cap)
-  ops = (pad_row.astype(jnp.int32),) + tuple(acc_cols)
-  s = jax.lax.sort(ops, num_keys=1, is_stable=True)
-  m = min(n_rows, r_rows)   # valid rows always fit in the runs (<= R);
-  # tiny scenes can have n + dup_cap > R — the excess table rows are all
-  # sentinels (culled / unused dup slots) with zero gradient
-  def to_rows(c):
-    c = c[:m]
-    if m < n_rows:
-      c = jnp.concatenate([c, jnp.zeros((n_rows - m,), c.dtype)], 0)
-    return c
-  home_cols = [to_rows(c) for c in s[1:]]   # slabw x (n_rows,), home order
+  def col(c):
+    c_ext = jnp.concatenate([c, jnp.zeros((1,), c.dtype)])  # [r_rows] = 0
+    v = c_ext[mapping.grad_src]
+    if with_dup:
+      dv = c_ext[mapping.dup_src]
+      # unused dup slots carry dup_pid == N (out of bounds -> dropped)
+      v = v.at[mapping.dup_pid].add(dv, mode="drop")
+    return v
 
-  # --- inverse permutation: home order -> caller's point order ----------
-  # Main rows carry pids 0..n-1 (each exactly once); wide-splat duplicate
-  # rows carry pid + n (invalid slots > 2n), so after the pid sort the
-  # first n rows ARE the per-point gradients and the dup tail
-  # scatter-adds onto them (few rows — wide splats are rare).
-  # pids ride the table BY VALUE (exact below 2^24; bitcast storage would
-  # flush denormal pid bit patterns to zero on TPU — see stream_map)
-  pid = mapping.table[:n_rows, -1].astype(jnp.int32)
-  s2 = jax.lax.sort((pid,) + tuple(home_cols), num_keys=1)
-  cols = [c[:n] for c in s2[1:]]
-  if mapping.dup_cap > 0:
-    dpid = jnp.clip(s2[0][n:n_rows] - n, 0, n - 1)
-    dval = (s2[0][n:n_rows] - n >= 0) & (s2[0][n:n_rows] - n < n)
-    cols = [c.at[dpid].add(jnp.where(dval, d[n:n_rows], 0.0))
-            for c, d in zip(cols, s2[1:])]
-  return cols
+  return [col(c) for c in acc_cols]
 
 
 def detile(image_tiled: jnp.ndarray, tiles_wide: int, tiles_high: int,
@@ -210,9 +276,8 @@ def _stream_function(config: RasterConfig, run_cap: int):
     image_tiled, mapping = residuals
     f = mapping.feature_size
     slabw = slab_width(config, f)
-    gout = stream_backward(mapping, image_tiled, g_image_tiled, config,
-                           run_cap)
-    cols = stream_reduce(gout, mapping, run_cap, slabw)
+    cols = backward_reduce(mapping, image_tiled, g_image_tiled, config,
+                           run_cap, slabw)
     dt = cols[0].dtype
     n = mapping.num_points
     g_g2d = jnp.stack(cols[:7], -1)

@@ -78,9 +78,18 @@ def render_projected(
 ) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:62-108).
 
-  Routes through the tile-stream pipeline when ``config.pipeline`` allows;
-  on that path per-point visibility is a backward product (use
-  ``render_with_heuristics`` or thread ``probe`` and read its gradient).
+  Routes through the tile-stream pipeline when ``config.pipeline`` allows.
+  On that path per-point visibility is a backward product: training code
+  should use ``render_with_heuristics`` (or thread ``probe`` and read its
+  gradient), which gets it for free from the backward pass it runs anyway.
+  When ``config.compute_visibility`` is set and no ``probe`` is threaded,
+  this function still honours the request by running one extra
+  zero-cotangent backward dispatch (gradient-stopped), so
+  ``rendering.points.visibility`` works on BOTH pipelines.
+
+  ``use_depth16`` only affects the sorted pipeline's key layout; the
+  stream pipeline ALWAYS composites in quantized-depth order (14- or
+  12-bit keys, stream.depth_bits_for), so the flag is vacuous there.
   """
   from .rasterizer.stream_function import (probe_width, stream_eligible,
                                            stream_map_with_config,
@@ -126,6 +135,23 @@ def render_projected(
           sg(gaussians2d), sg(feats_all), mapping, image_size, median_cfg)
       median_depth = med_all[..., f]
     visibility = None
+    if config.compute_visibility and probe is None:
+      # no probe threaded (analysis/eval path, not a training step):
+      # visibility = cotangent of probe column 0 under a ZERO image
+      # cotangent (it is sum-of-compositing-weights, independent of the
+      # loss), computed by one extra gradient-stopped backward dispatch.
+      # Trainers get it free via render_with_heuristics instead.
+      pw = probe_width(config)
+      probe0 = jnp.zeros((gaussians2d.shape[0], pw), gaussians2d.dtype)
+
+      def probe_only(pr):
+        return stream_rasterize_with_mapping(
+            sg(gaussians2d), sg(feats_all), mapping, image_size, config,
+            probe=pr, tiled=True)
+
+      it_p, vjp = jax.vjp(probe_only, probe0)
+      (gpr,) = vjp(jnp.zeros_like(it_p))
+      visibility = sg(gpr[:, 0])
   else:
     mapping = map_to_tiles(
         sg(gaussians2d), sg(ndc_depths),
@@ -175,6 +201,7 @@ def render_projected(
       camera=camera_params,
       config=config,
       num_overflow=mapping.num_overflow,
+      overflow_by_cause=getattr(mapping, "overflow", None),
   )
 
 

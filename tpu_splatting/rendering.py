@@ -105,6 +105,10 @@ class Rendering:
   # is COUNTED, never silent (divergence from the reference, which
   # reallocates on the host instead; see MIGRATION.md).
   num_overflow: Optional[jnp.ndarray] = None
+  # (5,) i32 — num_overflow split by cause (stream pipeline only):
+  # [wide/dup, strip, slab, run, window]; see stream.OVERFLOW_CAUSES.
+  # Tells a trainer WHICH stream capacity to bump on drift.
+  overflow_by_cause: Optional[jnp.ndarray] = None
 
   @property
   def ndc_image(self) -> jnp.ndarray:
@@ -131,5 +135,6 @@ class Rendering:
 jax.tree_util.register_dataclass(
     Rendering,
     data_fields=["image", "image_weight", "points", "camera",
-                 "depth_image", "median_depth_image", "num_overflow"],
+                 "depth_image", "median_depth_image", "num_overflow",
+                 "overflow_by_cause"],
     meta_fields=["config"])
