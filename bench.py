@@ -172,6 +172,9 @@ def bench_scene(name, packed, depth, feats, gw):
                          group_width=gw)
   print(f"# {name} calibration: {cal}", file=sys.stderr)
 
+  import dataclasses
+  config = dataclasses.replace(config,
+                               big_tile_window=cal["big_tile_window"])
   caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
               slab_cap=cal["slab_cap"], group_width=gw,
               w_max=cal["w_max"], run_cap=cal["run_cap"],
@@ -254,7 +257,8 @@ def bench_full_renderer(name, packed, depth, feats, gw, caps=None):
                              IMAGE_SIZE, config, group_width=gw)
     print(f"# {name} full-renderer calibration: {cal}", file=sys.stderr)
     caps = {k: cal[k] for k in ("num_slabs", "strip_cap", "slab_cap",
-                                "w_max", "run_cap", "wide_cap", "dup_cap")}
+                                "w_max", "run_cap", "wide_cap", "dup_cap",
+                                "big_tile_window")}
   cfg = dataclasses.replace(
       config,
       stream_num_slabs=caps["num_slabs"],
@@ -263,7 +267,8 @@ def bench_full_renderer(name, packed, depth, feats, gw, caps=None):
       stream_w_max=caps["w_max"],
       stream_run_cap=caps["run_cap"],
       stream_wide_cap=caps["wide_cap"],
-      stream_dup_cap=caps["dup_cap"])
+      stream_dup_cap=caps["dup_cap"],
+      big_tile_window=caps["big_tile_window"])
 
   rngt = np.random.default_rng(7)
   tgt = jnp.asarray(

@@ -20,7 +20,7 @@ import sys
 import numpy as np
 
 
-def make_scene(n, image_size, seed=0, n_culled=64, n_dim=64):
+def make_scene(n, image_size, seed=0, n_culled=64, n_dim=64, n_wide=32):
   rng = np.random.default_rng(seed)
   w, h = image_size
   packed = np.zeros((n, 7), np.float32)
@@ -31,6 +31,10 @@ def make_scene(n, image_size, seed=0, n_culled=64, n_dim=64):
   packed[:, 3] = np.sin(th)
   packed[:, 4:6] = (rng.random((n, 2)) + 0.2) * 2.5
   packed[:, 6] = rng.uniform(0.1, 0.9, n)
+  # a wide-splat tail (sigma to ~25 px, span within big_tile_window)
+  # exercises the duplication path: dup rows through the kernels, dup
+  # scatter-add in the reduce
+  packed[-n_wide:, 4:6] = rng.uniform(10.0, 25.0, (n_wide, 2))
   # DISTINCT d14 depth keys per point (needs n < 2^14 / 4-ish): the sort
   # key ties of coincident quantized depths are broken arbitrarily and
   # DIFFERENTLY per backend — coincident rows then composite in swapped
@@ -53,11 +57,12 @@ def run_on(device, packed, depth, feats, image_size, config, caps):
   from tpu_splatting.rasterizer.stream_function import (
       probe_width, stream_rasterize_with_mapping)
 
+  gw = int(os.environ.get("TPU_SPLAT_GW", "2"))
   with jax.default_device(device):
     p = jnp.asarray(packed)
     d = jnp.asarray(depth)
     f = jnp.asarray(feats)
-    m = stream_map(p, d, f, image_size, config, group_width=2, **caps)
+    m = stream_map(p, d, f, image_size, config, group_width=gw, **caps)
     overflow = int(m.num_overflow)
 
     def loss(p, f, probe):
@@ -94,10 +99,11 @@ def main():
   image_size = (256, 192)
   n = 12_000
   passes = int(os.environ.get("TPU_SPLAT_PASSES", "2"))
+  gw = int(os.environ.get("TPU_SPLAT_GW", "2"))
   config = RasterConfig(compute_point_heuristic=True,
                         compute_visibility=True, stream_passes=passes)
   caps = dict(num_slabs=6, strip_cap=2048, slab_cap=512, w_max=40,
-              run_cap=512)
+              run_cap=512, wide_cap=256, dup_cap=16384)
   packed, depth, feats = make_scene(n, image_size)
 
   tpu = [d for d in jax.devices() if d.platform != "cpu"]
@@ -106,7 +112,7 @@ def main():
 
   # the interpret-mode oracle takes minutes; cache it on disk keyed by the
   # scene/config so TPU-side iteration after a kernel change is seconds
-  key = (f"n{n}_w{image_size[0]}x{image_size[1]}_p{passes}_"
+  key = (f"n{n}_w{image_size[0]}x{image_size[1]}_p{passes}_gw{gw}_"
          + "_".join(f"{k}{v}" for k, v in sorted(caps.items())))
   cache = f"/tmp/check_tpu_ref_{key}.npz"
   if os.path.exists(cache) and not os.environ.get("TPU_SPLAT_NOCACHE"):

@@ -419,14 +419,16 @@ def test_calibrate_wide_scene_no_overflow():
   main rows in hot tiles, caps sized from duplication-free statistics
   overflow.  The calibration contract is num_overflow == 0 at the
   returned capacities."""
+  import dataclasses
   rng = np.random.default_rng(29)
-  n, image_size = 1500, (64, 48)
+  n, image_size = 1500, (256, 192)
   packed = np.zeros((n, 7), np.float32)
   # heavy clustering + a fat wide tail, miniature of bench.py heavy_scene
-  centres = np.stack([rng.uniform(0, 64, 16), rng.uniform(0, 48, 16)], 1)
-  pos = centres[rng.integers(0, 16, n)] + rng.normal(0, 4.0, (n, 2))
-  packed[:, 0] = np.clip(pos[:, 0], 0, 63)
-  packed[:, 1] = np.clip(pos[:, 1], 0, 47)
+  centres = np.stack([rng.uniform(0, 256, 16), rng.uniform(0, 192, 16)],
+                     1)
+  pos = centres[rng.integers(0, 16, n)] + rng.normal(0, 12.0, (n, 2))
+  packed[:, 0] = np.clip(pos[:, 0], 0, 255)
+  packed[:, 1] = np.clip(pos[:, 1], 0, 191)
   theta = rng.uniform(0, np.pi, n)
   packed[:, 2] = np.cos(theta)
   packed[:, 3] = np.sin(theta)
@@ -435,6 +437,12 @@ def test_calibrate_wide_scene_no_overflow():
   packed[:, 5] = np.clip(s * np.exp(-np.abs(rng.normal(0, 0.7, n))),
                          0.05, 30.0).astype(np.float32)
   packed[:, 6] = rng.uniform(0.3, 0.95, n)
+  # two splats spanning more tiles than the default big_tile_window (16):
+  # calibration must WIDEN the window (clipped spans are overflow no cap
+  # increase can fix — the round-3 heavy-scene failure mode)
+  packed[:2, 0:2] = [[128.0, 96.0], [100.0, 80.0]]
+  packed[:2, 4:6] = 60.0
+  packed[:2, 6] = 0.9
   packed = jnp.asarray(packed)
   depths = jnp.asarray(rng.permutation(n).astype(np.float32) + 0.5) / n
   feats = jnp.asarray(rng.random((n, 3)).astype(np.float32))
@@ -443,6 +451,9 @@ def test_calibrate_wide_scene_no_overflow():
   cal = calibrate_stream(packed, depths, feats, image_size, config,
                          group_width=2, slab_cap=64)
   assert cal["num_dup_rows"] > 200, "scene must exercise duplication"
+  assert cal["big_tile_window"] > 16, cal
+  config = dataclasses.replace(config,
+                               big_tile_window=cal["big_tile_window"])
   mm = stream_map(packed, depths, feats, image_size, config,
                   group_width=2, num_slabs=cal["num_slabs"],
                   strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],

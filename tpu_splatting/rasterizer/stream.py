@@ -617,10 +617,13 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("image_size", "config"))
 def wide_stats(gaussians, depth, image_size, config: RasterConfig):
-  """(num_wide, total_dup_rows) of the scene: splats whose AABB reaches
-  beyond +-1 tile of home, and the span tiles outside their 3x3 core
-  (clipped to config.big_tile_window per axis) — the quantities that
-  size stream_map's wide_cap / dup_cap."""
+  """(num_wide, total_dup_rows, max_span) of the scene: splats whose AABB
+  reaches beyond +-1 tile of home, the span tiles outside their 3x3 core
+  (clipped to config.big_tile_window per axis), and the largest UNCLIPPED
+  per-axis tile span — the quantities that size stream_map's
+  wide_cap / dup_cap and config.big_tile_window (spans beyond the window
+  are CLIPPED and counted as overflow; calibration must widen the window,
+  not the caps, to cover them)."""
   ts = config.tile_size
   mean, axis, sigma, alpha = g2d.unpack_g2d(gaussians)
   gscale = g2d.gaussian_scale(alpha, config.alpha_threshold)
@@ -635,13 +638,15 @@ def wide_stats(gaussians, depth, image_size, config: RasterConfig):
   hi_t = jnp.clip(jnp.floor(upper / ts).astype(jnp.int32), 0, max_tile)
   home = jnp.clip(jnp.floor(mean / ts).astype(jnp.int32), 0, max_tile)
   wide = valid & ~jnp.all((home - lo_t <= 1) & (hi_t - home <= 1), -1)
-  span = jnp.minimum(hi_t - lo_t + 1, config.big_tile_window)
+  span_full = hi_t - lo_t + 1
+  span = jnp.minimum(span_full, config.big_tile_window)
   # dup SLOTS = full clipped-span product: stream_map allocates a slot
   # for every span cell and invalidates the 3x3-core ones afterwards
   # (stream.py cnt_w / dup_ok), so dup_cap must cover the full product
   dup = span[:, 0] * span[:, 1]
+  max_span = jnp.max(jnp.where(wide[:, None], span_full, 0))
   return (wide.sum(dtype=jnp.int32),
-          jnp.where(wide, dup, 0).sum(dtype=jnp.int32))
+          jnp.where(wide, dup, 0).sum(dtype=jnp.int32), max_span)
 
 
 MAX_SLABS = 32
@@ -671,12 +676,18 @@ def calibrate_stream(gaussians, depth, features, image_size,
   slabs than pass 1's fully-merged plan would suggest; pass 3 validates
   the complete capacity set against the per-cause overflow counters and
   bumps whichever capacity still overflows."""
+  import dataclasses as _dc
+
   import numpy as np
   cpu = jax.devices("cpu")[0]
   gw = group_width
+  n_pts = gaussians.shape[0]
+  # dup pids must stay f32-exact (< 2^24, see stream_map's pid assert)
+  dup_max = (1 << 23) if 2 * n_pts <= (1 << 23) else (
+      (1 << 24) - 2 * n_pts - 1)
 
-  def measure(num_slabs, s_cap, c_cap, r_cap, wide_cap, dup_cap):
-    m = stream_map(gaussians, depth, features, image_size, config,
+  def measure(cfg, num_slabs, s_cap, c_cap, r_cap, wide_cap, dup_cap):
+    m = stream_map(gaussians, depth, features, image_size, cfg,
                    num_slabs=num_slabs, strip_cap=s_cap, slab_cap=c_cap,
                    group_width=gw, w_max=64, run_cap=r_cap,
                    build_table=False, wide_cap=wide_cap, dup_cap=dup_cap)
@@ -689,20 +700,30 @@ def calibrate_stream(gaussians, depth, features, image_size,
     depth = jax.device_put(depth, cpu)
     features = jax.device_put(features, cpu)
 
-    # ---- pass 0: wide-splat capacities --------------------------------
+    # ---- pass 0: wide-splat capacities + span window -------------------
     # Sized FIRST so every later measurement includes the duplicate rows.
     # 0 when the scene has none (the dup machinery costs ~20 ms/frame at
     # 2M points even when idle — measured); overflow counters catch drift.
-    n_wide, n_dup = (int(x) for x in
-                     wide_stats(gaussians, depth, image_size, config))
+    # config.big_tile_window must cover the scene's largest tile span —
+    # spans beyond it are CLIPPED (counted as wide overflow), and no cap
+    # increase can recover clipped tiles.
+    probe_cfg = _dc.replace(config, big_tile_window=1 << 20)
+    n_wide, _, max_span = (int(x) for x in wide_stats(
+        gaussians, depth, image_size, probe_cfg))
+    btw = max(config.big_tile_window, max_span)
+    config = _dc.replace(config, big_tile_window=btw)
+    _, n_dup, _ = (int(x) for x in wide_stats(
+        gaussians, depth, image_size, config))
     if n_wide == 0:
       wide_cap = dup_cap = 0
     else:
       wide_cap = max(64, 1 << (int(n_wide * 1.3)).bit_length())
-      dup_cap = max(256, 1 << (int(n_dup * 1.3)).bit_length())
+      dup_cap = min(dup_max,
+                    max(256, 1 << (int(n_dup * 1.3)).bit_length()))
 
     # ---- pass 1: unbounded capacities -> row/strip/run maxima ----------
-    m, lens = measure(4, 1 << 27, 1 << 27, 1 << 27, wide_cap, dup_cap)
+    m, lens = measure(config, 4, 1 << 27, 1 << 27, 1 << 27, wide_cap,
+                      dup_cap)
     tw, th = m.tiles_wide, m.tiles_high
     max_rows = int(lens.sum((2, 3)).max())
 
@@ -736,7 +757,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
     num_slabs = min(MAX_SLABS,
                     max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
     for _ in range(6):
-      _, lens2 = measure(num_slabs, 1 << 27, slab_cap, 1 << 27,
+      _, lens2 = measure(config, num_slabs, 1 << 27, slab_cap, 1 << 27,
                          wide_cap, dup_cap)
       max_slab_rows = int(lens2.sum(3).max())
       if max_slab_rows <= slab_cap or num_slabs >= MAX_SLABS:
@@ -751,7 +772,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
     # only surface with everything bounded at once.
     over = None
     for _ in range(6):
-      m3, lens3 = measure(num_slabs, strip_cap, slab_cap, run_cap,
+      m3, lens3 = measure(config, num_slabs, strip_cap, slab_cap, run_cap,
                           wide_cap, dup_cap)
       over = np.asarray(jax.device_get(m3.overflow))
       w_seen = int((lens3 > 0).sum(3).max())
@@ -759,7 +780,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
         break
       if over[0] > 0:                      # wide/dup
         wide_cap = max(64, wide_cap * 2)
-        dup_cap = max(256, dup_cap * 2)
+        dup_cap = min(dup_max, max(256, dup_cap * 2))
       if over[1] > 0:                      # strip
         strip_cap *= 2
       if over[2] > 0:                      # slab: finer depth cells
@@ -772,6 +793,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
   return {"num_slabs": num_slabs, "strip_cap": strip_cap,
           "slab_cap": slab_cap, "w_max": w_max,
           "run_cap": run_cap, "wide_cap": wide_cap, "dup_cap": dup_cap,
+          "big_tile_window": btw,
           "overflow": [int(x) for x in over],
           "max_tile_rows": max_rows,
           "max_strip_rows": strip_len, "max_run": max_run,

@@ -76,11 +76,11 @@ def _gout_band_bytes(mapping: StreamMapping, run_cap: int) -> int:
 
 
 def _pick_band_chunk(th: int, band_bytes: int, budget: int) -> int:
-  """Largest band-chunk size K dividing th whose scan working set
-  (~(3K+4) band-rows of slab blocks live at once) fits the budget."""
+  """Largest band-chunk size K dividing th whose working set ((K+2)
+  band-rows of slab blocks live per step) fits the budget."""
   best = 1
   for k in range(1, th + 1):
-    if th % k == 0 and (3 * k + 4) * band_bytes <= budget:
+    if th % k == 0 and (k + 2) * band_bytes <= budget:
       best = k
   return best
 
@@ -92,13 +92,15 @@ def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
   The per-group slab blocks cost (gw+2)*run_cap rows x 128 lanes per
   group; long-run scenes (run_cap in the thousands) would need hundreds
   of GB for the full buffer.  When it exceeds
-  ``config.stream_gout_budget_mb`` the backward runs band-chunked in one
-  ``lax.scan``: each step renders K tile bands' slab blocks and merges
-  the PREVIOUS K bands (whose +-1-band halo is then complete) via the
-  merge kernel's halo mode — the same one-band-lookahead dataflow as the
-  multi-chip band sharding (parallel/stream_sharded.py), sequential
-  instead of spatial.  Returns per-point gradient columns in the
-  caller's point order."""
+  ``config.stream_gout_budget_mb`` the backward runs band-chunked inside
+  one ``lax.map``: each step renders K+2 tile bands' slab blocks (its K
+  bands plus a recomputed one-band halo on each side — descriptors are
+  zero-padded at the image edges) and merges its K bands via the merge
+  kernel's halo mode, so only (K+2) band-rows of slab blocks are ever
+  live.  Same halo dataflow as the multi-chip band sharding
+  (parallel/stream_sharded.py), sequential instead of spatial; the halo
+  recompute costs (K+2)/K of the backward kernel and zero extra copies.
+  Returns per-point gradient columns in the caller's point order."""
   from .stream_kernels import merge_grad_slabs
   th = mapping.tiles_high
   band_bytes = _gout_band_bytes(mapping, run_cap)
@@ -113,38 +115,38 @@ def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
   gw = mapping.group_width
   tw = mapping.tiles_wide
   groups_x = tw // gw
-  gpc = k * groups_x                     # groups per chunk
-  tpc = k * tw                           # tiles per chunk
   chunks = th // k
-  rows_g = (gw + 2) * run_cap + STRIP_SLACK
-  lanes = 9 * slabw
-  lm = dataclasses.replace(                 # K-band local mapping
+  gpc = (k + 2) * groups_x               # groups per step (with halo)
+  tpc = (k + 2) * tw                     # tiles per step
+  lm_src = dataclasses.replace(          # (K+2)-band backward mapping
+      mapping, tiles_high=k + 2, num_tiles=tw * (k + 2))
+  lm_out = dataclasses.replace(          # K-band merge mapping
       mapping, tiles_high=k, num_tiles=tw * k)
 
-  def chunk_bwd(i):
-    d = jax.lax.dynamic_slice_in_dim(mapping.desc, i * gpc, gpc, 0)
-    sb = jax.lax.dynamic_slice_in_dim(mapping.strip_blk, i * gpc, gpc, 0)
-    im = jax.lax.dynamic_slice_in_dim(image_tiled, i * tpc, tpc, 0)
-    gi = jax.lax.dynamic_slice_in_dim(g_image_tiled, i * tpc, tpc, 0)
-    lmc = dataclasses.replace(lm, desc=d, strip_blk=sb)
-    return stream_backward(lmc, im, gi, config, run_cap, band0=i * k)
+  # one zero band-row of groups/tiles on each side: the first chunk's
+  # band -1 and the last chunk's band th render zero slab blocks (empty
+  # descriptors), which is exactly the out-of-image merge masking
+  zg = ((groups_x, groups_x),)
+  zt = ((tw, tw),)
+  desc_p = jnp.pad(mapping.desc, zg + ((0, 0), (0, 0)))
+  sb_p = jnp.pad(mapping.strip_blk, zg + ((0, 0),))
+  img_p = jnp.pad(image_tiled, zt + ((0, 0), (0, 0)))
+  gimg_p = jnp.pad(g_image_tiled, zt + ((0, 0), (0, 0)))
 
-  def body(carry, i):
-    # carry: slab blocks of bands [(i-1)k - 1, i*k) — the merged chunk's
-    # own bands plus its band-above halo; the band-below halo is the
-    # first band of THIS step's chunk (zeros past the last chunk).
-    gout_i = jax.lax.cond(
-        i < chunks, chunk_bwd,
-        lambda _: jnp.zeros((gpc, rows_g, lanes), jnp.float32), i)
-    gout_ext = jnp.concatenate([carry, gout_i[:groups_x]], 0)
-    cols = merge_grad_slabs(gout_ext, lm, run_cap, slabw, halo=True)
-    new_carry = jnp.concatenate([carry[carry.shape[0] - groups_x:],
-                                 gout_i], 0)
-    return new_carry, jnp.stack(cols)          # (slabw, k*tw*run_cap)
+  def step(i):
+    g0 = i * k * groups_x                # padded row of band i*k - 1
+    t0 = i * k * tw
+    d = jax.lax.dynamic_slice_in_dim(desc_p, g0, gpc, 0)
+    sb = jax.lax.dynamic_slice_in_dim(sb_p, g0, gpc, 0)
+    im = jax.lax.dynamic_slice_in_dim(img_p, t0, tpc, 0)
+    gi = jax.lax.dynamic_slice_in_dim(gimg_p, t0, tpc, 0)
+    lmc = dataclasses.replace(lm_src, desc=d, strip_blk=sb)
+    gout = stream_backward(lmc, im, gi, config, run_cap,
+                           band0=i * k - 1)
+    cols = merge_grad_slabs(gout, lm_out, run_cap, slabw, halo=True)
+    return jnp.stack(cols)               # (slabw, k*tw*run_cap)
 
-  carry0 = jnp.concatenate(
-      [jnp.zeros((groups_x, rows_g, lanes), jnp.float32), chunk_bwd(0)], 0)
-  _, ys = jax.lax.scan(body, carry0, jnp.arange(1, chunks + 1))
+  ys = jax.lax.map(step, jnp.arange(chunks))
   # ys: (chunks, slabw, k*tw*rc) -> slabw home-major (T*rc,) columns
   acc = jnp.moveaxis(ys, 1, 0).reshape(slabw, th * tw * run_cap)
   return reduce_stage2([acc[c] for c in range(slabw)], mapping, run_cap)
@@ -152,17 +154,62 @@ def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
 
 def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
   """Stage 2 of the gradient reduce: home-major (R,) columns -> caller-
-  point-order (n,) columns, as pure gathers over the map-time
-  ``grad_src`` indices (stream.py computes them from data the mapping
-  sort already produced).  Replaces an R-sized compaction sort plus an
-  N-sized pid sort of every f32 gradient column — at heavy-scene run
-  capacities R reaches ~50M rows, where the sorts cost >100 ms while the
-  gathers touch exactly n + dup_cap rows.  Wide-splat duplicate rows
-  scatter-add onto their point.  Also the tail of the band-sharded path
-  (parallel/stream_sharded.py) after its all_gather."""
+  point-order (n,) columns.  Also the tail of the band-sharded path
+  (parallel/stream_sharded.py) after its all_gather.
+
+  Two implementations, chosen by the run-padding ratio (measured v5e
+  costs: XLA sort ~2.6 ms/M rows with payload width nearly free; XLA
+  gather/scatter ~1 element/CYCLE, so per-column gathers cost
+  ~1.1 ms/M/column x slabw columns):
+
+  * compact R: one R-sized stable compaction sort (drop run padding) +
+    one N-sized pid sort carrying all columns as payload — wins when R
+    is within a few x of N (uniform scenes: ~9 ms vs ~39 ms of gathers).
+  * huge R (long-run scenes, run_cap in the thousands -> R ~ 25 x N):
+    per-column gathers over the map-time ``grad_src`` indices touch
+    exactly n + dup_cap rows where the sorts would pay >100 ms.
+  """
+  n = mapping.num_points
+  n_rows = n + mapping.dup_cap
   r_rows = mapping.num_tiles * run_cap
   assert mapping.grad_src.shape[0] == mapping.num_points, (
       "mapping was built with build_table=False (calibration only)")
+  slabw = len(acc_cols)
+  sort_cost = (r_rows + n_rows) * 2.6
+  gather_cost = (n_rows * slabw + (2.0 * mapping.dup_cap * slabw)) * 1.1
+  if sort_cost <= gather_cost:
+    # --- compact away run padding (stable sort by is-padding) ----------
+    row = jnp.arange(r_rows, dtype=jnp.int32)
+    run_lens = jnp.minimum(
+        mapping.run_starts[1:] - mapping.run_starts[:-1], run_cap)
+    pad_row = (row % run_cap) >= jnp.repeat(run_lens, run_cap)
+    ops = (pad_row.astype(jnp.int32),) + tuple(acc_cols)
+    s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    m = min(n_rows, r_rows)   # valid rows always fit in the runs (<= R);
+    # tiny scenes can have n + dup_cap > R — the excess table rows are
+    # all sentinels (culled / unused dup slots) with zero gradient
+
+    def to_rows(c):
+      c = c[:m]
+      if m < n_rows:
+        c = jnp.concatenate([c, jnp.zeros((n_rows - m,), c.dtype)], 0)
+      return c
+
+    home_cols = [to_rows(c) for c in s[1:]]  # slabw x (n_rows,)
+    # inverse permutation: home order -> caller's point order.  Main rows
+    # carry pids 0..n-1 (each exactly once); duplicate rows carry pid + n
+    # (invalid slots > 2n), so after the pid sort the first n rows ARE
+    # the per-point gradients and the dup tail scatter-adds onto them.
+    pid = mapping.table[:n_rows, -1].astype(jnp.int32)
+    s2 = jax.lax.sort((pid,) + tuple(home_cols), num_keys=1)
+    cols = [c[:n] for c in s2[1:]]
+    if mapping.dup_cap > 0:
+      dpid = jnp.clip(s2[0][n:n_rows] - n, 0, n - 1)
+      dval = (s2[0][n:n_rows] - n >= 0) & (s2[0][n:n_rows] - n < n)
+      cols = [c.at[dpid].add(jnp.where(dval, d[n:n_rows], 0.0))
+              for c, d in zip(cols, s2[1:])]
+    return cols
+
   with_dup = mapping.dup_cap > 0
 
   def col(c):
