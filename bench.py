@@ -44,6 +44,35 @@ IMAGE_SIZE = (2048, 1536)
 N = 2_000_000
 DISPATCH_MS = 1.2   # measured per-dispatch tunnel overhead
 
+# Calibration results are deterministic in (scene, gw, capacity
+# semantics) and cost minutes of host-CPU mapper compiles — cache them
+# on disk.  Bump when stream_map's capacity/overflow semantics change.
+CAL_VERSION = 5
+
+
+def _cal_cached(key, compute, force=False):
+  """Disk-cached calibration dict (repo-local, survives /tmp wipes)."""
+  path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".bench_cal.json")
+  try:
+    with open(path) as fh:
+      cache = json.load(fh)
+  except Exception:
+    cache = {}
+  key = f"{key}_v{CAL_VERSION}"
+  if key in cache and not force:
+    print(f"# calibration cache hit: {key}", file=sys.stderr)
+    return cache[key]
+  cal = compute()
+  cache[key] = {k: (v if isinstance(v, list) else int(v))
+                for k, v in cal.items()}
+  try:
+    with open(path, "w") as fh:
+      json.dump(cache, fh, indent=1, sort_keys=True)
+  except Exception:
+    pass
+  return cache[key]
+
 
 def uniform_scene(rng, n, image_size):
   w, h = image_size
@@ -168,21 +197,29 @@ def bench_scene(name, packed, depth, feats, gw):
   depth = jnp.asarray(depth)
   feats = jnp.asarray(feats)
 
-  cal = calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
-                         group_width=gw)
-  print(f"# {name} calibration: {cal}", file=sys.stderr)
-
   import dataclasses
-  config = dataclasses.replace(config,
-                               big_tile_window=cal["big_tile_window"])
-  caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
-              slab_cap=cal["slab_cap"], group_width=gw,
-              w_max=cal["w_max"], run_cap=cal["run_cap"],
-              wide_cap=cal["wide_cap"], dup_cap=cal["dup_cap"])
-  map_f = lambda p, d, f: stream_map(p, d, f, IMAGE_SIZE, config, **caps)
 
-  # the benchmark is only valid if NO overlaps were dropped
-  m = jax.jit(map_f)(packed, depth, feats)
+  def build(force_cal):
+    cal = _cal_cached(
+        f"{name}_gw{gw}",
+        lambda: calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
+                                 group_width=gw), force=force_cal)
+    print(f"# {name} calibration: {cal}", file=sys.stderr)
+    cfg = dataclasses.replace(config,
+                              big_tile_window=cal["big_tile_window"])
+    caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
+                slab_cap=cal["slab_cap"], group_width=gw,
+                w_max=cal["w_max"], run_cap=cal["run_cap"],
+                wide_cap=cal["wide_cap"], dup_cap=cal["dup_cap"])
+    map_f = lambda p, d, f: stream_map(p, d, f, IMAGE_SIZE, cfg, **caps)
+    return cfg, caps, map_f, jax.jit(map_f)(packed, depth, feats)
+
+  # the benchmark is only valid if NO overlaps were dropped; a stale
+  # cached calibration falls back to a fresh one before failing
+  config_caps = build(False)
+  if int(config_caps[3].num_overflow) != 0:
+    config_caps = build(True)
+  config, caps, map_f, m = config_caps
   overflow = int(m.num_overflow)
   print(f"# {name} overflow {overflow} by cause "
         f"{[int(x) for x in m.overflow]}", file=sys.stderr)
@@ -243,18 +280,22 @@ def bench_full_renderer(name, packed, depth, feats, gw, caps=None):
 
   if caps is None:
     # calibrate on the PROJECTED splats (host CPU)
-    from tpu_splatting.perspective.projection import ndc_depth
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-      g3d_c = jax.device_put(jax.device_get(g3d), cpu)
-      cam_c = jax.device_put(jax.device_get(cam), cpu)
-      g2d, depths, _ = jax.jit(
-          lambda g: project_to_image(g, cam_c, config))(g3d_c)
-      nd = jnp.where(depths > 0,
-                     ndc_depth(depths, cam.near_plane, cam.far_plane), 0.0)
-      cal = calibrate_stream(g2d, nd,
-                             jax.device_put(jnp.asarray(feats), cpu),
-                             IMAGE_SIZE, config, group_width=gw)
+    def compute_cal():
+      from tpu_splatting.perspective.projection import ndc_depth
+      cpu = jax.devices("cpu")[0]
+      with jax.default_device(cpu):
+        g3d_c = jax.device_put(jax.device_get(g3d), cpu)
+        cam_c = jax.device_put(jax.device_get(cam), cpu)
+        g2d, depths, _ = jax.jit(
+            lambda g: project_to_image(g, cam_c, config))(g3d_c)
+        nd = jnp.where(
+            depths > 0,
+            ndc_depth(depths, cam.near_plane, cam.far_plane), 0.0)
+        return calibrate_stream(g2d, nd,
+                                jax.device_put(jnp.asarray(feats), cpu),
+                                IMAGE_SIZE, config, group_width=gw)
+
+    cal = _cal_cached(f"{name}_full_gw{gw}", compute_cal)
     print(f"# {name} full-renderer calibration: {cal}", file=sys.stderr)
     caps = {k: cal[k] for k in ("num_slabs", "strip_cap", "slab_cap",
                                 "w_max", "run_cap", "wide_cap", "dup_cap",
@@ -296,7 +337,13 @@ def bench_full_renderer(name, packed, depth, feats, gw, caps=None):
 
 def main():
   import jax
-  jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+  # repo-local compile cache: /tmp is wiped between driver runs, so a
+  # fresh bench.py invocation would otherwise recompile the big
+  # pipeline graphs (tens of minutes at the heavy scene's capacities)
+  cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".jaxcache")
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
   rng = np.random.default_rng(0)
   scenes = {

@@ -232,7 +232,7 @@ def test_band_sharded_stream_matches_single_device():
   n = 90
   packed, depths, feats = make_scene(23, n, image_size)
   mm = stream_map(packed, depths, feats, image_size, config, group_width=2,
-                  num_slabs=2, strip_cap=128, slab_cap=64, w_max=16,
+                  num_slabs=2, strip_cap=128, slab_cap=256, w_max=16,
                   run_cap=16)
   assert int(mm.num_overflow) == 0
   mesh = Mesh(jax.devices("cpu")[:4], ("y",))

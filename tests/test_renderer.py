@@ -15,8 +15,10 @@ def small_cfg(**kw):
   # stream caps calibrated for these 100-point scenes (max strip 96 rows,
   # run 35, dup 545): the production defaults (strip 8192) make the
   # interpret-mode kernels loop over thousands of padding chunks
+  # slab_cap has headroom for the packed fetch's 8-row window
+  # quantization (each window pads to whole packed sublane rows)
   return RasterConfig(tile_size=16, chunk_size=16, stream_num_slabs=2,
-                      stream_strip_cap=256, stream_slab_cap=128,
+                      stream_strip_cap=256, stream_slab_cap=256,
                       stream_w_max=16, stream_run_cap=64,
                       stream_wide_cap=128, stream_dup_cap=1024, **kw)
 

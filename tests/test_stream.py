@@ -22,7 +22,7 @@ from random_data import random_2d_gaussians
 # execution and 1-CPU XLA compiles both scale with these static
 # capacities, and sharing one set maximizes in-process jit-cache reuse —
 # together they cut the fast tier's wall clock ~3x.
-TIGHT = dict(num_slabs=2, strip_cap=128, slab_cap=64, w_max=16, run_cap=16)
+TIGHT = dict(num_slabs=2, strip_cap=128, slab_cap=256, w_max=16, run_cap=16)
 
 
 def make_scene(seed, n, image_size, scale_factor=0.45):
@@ -449,7 +449,7 @@ def test_calibrate_wide_scene_no_overflow():
   config = RasterConfig(tile_size=8, chunk_size=8)
 
   cal = calibrate_stream(packed, depths, feats, image_size, config,
-                         group_width=2, slab_cap=64)
+                         group_width=2, slab_cap=256)
   assert cal["num_dup_rows"] > 200, "scene must exercise duplication"
   assert cal["big_tile_window"] > 16, cal
   config = dataclasses.replace(config,

@@ -53,7 +53,7 @@ def _local_mapping(mapping: StreamMapping, desc, strip_blk, table,
       mapping, desc=desc, strip_blk=strip_blk, table=table,
       run_starts=run_starts, num_overflow=overflow[0],
       overflow=overflow[1], grad_src=zero_i, dup_src=zero_i,
-      dup_pid=zero_i, tiles_high=th_local,
+      dup_pid=zero_i, pid_order=zero_i, tiles_high=th_local,
       num_tiles=mapping.tiles_wide * th_local)
 
 

@@ -68,15 +68,26 @@ from ..mapper.tile_mapper import pad_to_tile, tile_shape
 class StreamMapping:
   """Static-shape stream mapping (pytree).
 
-  table: (N_pad, 7+F+2) f32 — home-sorted rows [gaussian(7), features(F),
-    depth rank (low depth_bits of the sort key, BY VALUE — exact in f32),
-    pid (BY VALUE; bitcast storage would flush denormal bit patterns on
-    TPU, see stream_map)].
+  table: (N_pad / RPB, RPB * W_PAD) f32 — home-sorted rows PACKED
+    RPB-per-sublane-row, row-major with a pow2 stride W_PAD >=
+    row_width, so ``table.reshape(N_pad, W_PAD)[:, :row_width]``
+    recovers flat rows: [gaussian(7), features(F), depth rank (low
+    depth_bits of the sort key, BY VALUE — exact in f32), zeros...].
+    Narrow (N, ~11) arrays pad their lanes 128/11x under the TPU's
+    (8, 128) tiling — packing 8 rows per sublane row cuts the
+    strip-fetch HBM traffic ~8x (the kernels' dominant memory cost);
+    window copies quantize to RPB-row granularity and per-window validity
+    masks handle the head/tail pad rows (exact compositing no-ops).
+  pid_order: (N_pad,) i32 — the pid of each sorted table row (the sort's
+    permutation; padding rows carry 2n + slot sentinels).  Kept OUT of
+    the float table: only the gradient reduce's stage-2 sort reads it.
   desc: (GROUPS, 1, GW*S*W_MAX*4) i32 — compacted fetch-window
     descriptors per (tile-in-group, merged slab): [lo_flat, len,
     gbuf_dst, class(b*3+k)] x W_MAX, nonempty first.  lo_flat indexes the
-    kernel's flattened 3-band strip scratch; gbuf_dst is the backward's
-    RUN_CAP-strided slab-buffer row.
+    kernel's flattened 3-band strip scratch IN ROW UNITS (the kernels
+    split it into sublane offset lo // RPB and head lo % RPB); gbuf_dst
+    is the backward's RUN_CAP-strided slab-buffer row of the first valid
+    row.
   strip_blk: (GROUPS, 3) i32 — S_CAP-block index of each band strip.
   run_starts: (T+1,) i32 — global first-row index of each home's run.
   num_overflow: () i32 — rows dropped by capacity clamps (overflow.sum()).
@@ -91,6 +102,7 @@ class StreamMapping:
     duplicate rows and the point each scatter-adds onto (N marks unused).
   """
   table: jnp.ndarray
+  pid_order: jnp.ndarray
   desc: jnp.ndarray
   strip_blk: jnp.ndarray
   run_starts: jnp.ndarray
@@ -114,21 +126,43 @@ class StreamMapping:
   run_cap: int
   dup_cap: int = 0
   depth_bits: int = 14
+  rows_per_block: int = 8
 
   @property
   def num_groups(self) -> int:
     return self.desc.shape[0]
 
+  @property
+  def row_width(self) -> int:
+    """Scalars per table row: 7 gaussian + F features + depth rank."""
+    return 7 + self.feature_size + 1
+
 
 jax.tree_util.register_dataclass(
     StreamMapping,
-    data_fields=["table", "desc", "strip_blk", "run_starts",
+    data_fields=["table", "pid_order", "desc", "strip_blk", "run_starts",
                  "num_overflow", "overflow", "grad_src", "dup_src",
                  "dup_pid"],
     meta_fields=["num_points", "num_tiles", "tiles_wide", "tiles_high",
                  "feature_size", "group_width", "num_slabs", "strip_cap",
                  "slab_cap", "w_max", "run_cap", "dup_cap",
-                 "depth_bits"])
+                 "depth_bits", "rows_per_block"])
+
+
+def rows_per_block_for(row_width: int) -> Tuple[int, int]:
+  """(rows per packed sublane row, padded scalars per row).
+
+  The packed stride w_pad is the next power of two >= row_width so a
+  full packed sublane row is exactly 128 lanes (the kernels' unpack —
+  one (rpb*w_pad, C/rpb) transpose + rpb static sublane slices — needs
+  pow2-aligned strides; Mosaic rejects sublane<->lane reshapes
+  outright, benchmarks/exp_pack2.py).  Wide feature vectors pack fewer
+  rows; beyond 64 scalars the layout degenerates to one row per sublane
+  row."""
+  w_pad = 8
+  while w_pad < row_width:
+    w_pad *= 2
+  return max(1, 128 // w_pad), w_pad
 
 
 def _depth16(d):
@@ -294,7 +328,9 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   key = jnp.where(ok, key, jnp.uint32(0xFFFFFFFF))
 
   pid = jnp.arange(n, dtype=jnp.int32)
-  width = 7 + f_size + 2
+  w_row = 7 + f_size + 1
+  rpb, w_pad = rows_per_block_for(w_row)
+  assert slab_cap % rpb == 0 and strip_cap % rpb == 0
   n_rows = n + dup_cap
   if dup_cap > 0:
     key_all = jnp.concatenate([key, key_dup])
@@ -320,27 +356,34 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
     ops = (key_all, pid_all) + g_cols + f_cols
     s = jax.lax.sort(ops, num_keys=1)
     skey = s[0]
-    # Integer columns ride the float table BY VALUE, never by bitcast:
-    # pids < 2^23 bitcast to f32 DENORMALS, which the TPU flushes to zero
-    # in XLA elementwise ops — a silent all-pids-to-0 scramble (found by
-    # benchmarks/check_tpu.py).  f32 holds ints exactly up to 2^24, so the
-    # depth rank (< 2^14) and pids (< 2n + dup_cap, asserted) are exact;
-    # the f64 gradcheck path is exact a fortiori.
-    assert 2 * n + dup_cap < (1 << 24), "pid exceeds f32 exact-int range"
+    # The depth rank rides the float table BY VALUE, never by bitcast:
+    # small ints bitcast to f32 DENORMALS, which the TPU flushes to zero
+    # in XLA elementwise ops — a silent scramble (found by
+    # benchmarks/check_tpu.py).  f32 holds ints exactly up to 2^24, so
+    # the rank (< 2^14) is exact; pids live in the separate i32
+    # ``pid_order`` column (only the reduce's stage-2 sort reads them).
     key_col = (s[0] & jnp.uint32((1 << db) - 1)).astype(gaussians.dtype)
-    pid_col = s[1].astype(gaussians.dtype)
-    pad_key = float((1 << db) - 1)   # sentinel rank; masked by cnt anyway
-    cols = list(s[2:]) + [key_col, pid_col]
-    table = jnp.stack(cols, -1)                     # (N + dup_cap, 7+F+2)
+    pad_key = float((1 << db) - 1)   # sentinel rank; masked anyway
     # pad so any 2-block strip fetch stays in bounds; padding rows are
     # zero (alpha 0 => exact no-ops) with sentinel keys
     n_pad = ((n_rows + strip_cap - 1) // strip_cap + 2) * strip_cap
-    pad_rows = jnp.zeros((n_pad - n_rows, width), table.dtype)
-    pad_rows = pad_rows.at[:, 7 + f_size].set(pad_key)
-    table = jnp.concatenate([table, pad_rows], 0)
+
+    def pad_col(c, fill):
+      return jnp.concatenate(
+          [c, jnp.full((n_pad - n_rows,), fill, c.dtype)])
+
+    cols = [pad_col(c, 0.0) for c in s[2:]] + [pad_col(key_col, pad_key)]
+    zero_col = jnp.zeros((n_pad,), gaussians.dtype)
+    cols = cols + [zero_col] * (w_pad - w_row)
+    # pack RPB rows per sublane row, row-major within the packed row
+    # (lane = k * w_pad + w), zero-padded to the pow2 stride w_pad
+    table = jnp.stack([c.reshape(-1, rpb) for c in cols], -1).reshape(
+        n_pad // rpb, rpb * w_pad)
+    pid_order = pad_col(s[1].astype(jnp.int32), 2 * n + dup_cap)
   else:  # calibration: edge tables only
     skey = jax.lax.sort(key_all)
-    table = jnp.zeros((1, width), gaussians.dtype)
+    table = jnp.zeros((1, rpb * w_pad), gaussians.dtype)
+    pid_order = jnp.zeros((0,), jnp.int32)
 
   # ---- class/cell edge table --------------------------------------------
   # d14 depth-quantile cell thresholds: equal quantiles of the VALID depth
@@ -531,7 +574,10 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   run_hi = ((jnp.asarray(e_k, jnp.int32)[None, None, None, :]
              + i_t[None, :, None, None] + 1) * run_cap)
   len_run = jnp.clip(run_hi - w_dst, 0, None)
-  cap_len = jnp.minimum(len_run, STRIP_SLACK) if build_table else len_run
+  # largest tiered copy = STRIP_SLACK rows; quantized copies start up to
+  # rpb-1 rows before the window, so the exact length cap is smaller
+  cap_len = (jnp.minimum(len_run, STRIP_SLACK - (rpb - 1))
+             if build_table else len_run)
   run_over = jnp.maximum(w_len_m - cap_len, 0).sum(dtype=jnp.int32)
   w_len_m = jnp.minimum(w_len_m, cap_len)
 
@@ -546,7 +592,17 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   desc = jnp.stack([d_lo, d_len, d_dst, d_bk], -1)   # (G, gw, S, W, 4)
   desc = desc.reshape(n_groups, 1, gw * s_edges * w_max * 4)
 
-  slab_over = jnp.maximum(counts - slab_cap, 0).sum(dtype=jnp.int32)
+  # quantized slab accounting: each window occupies
+  # ceil((lo % rpb + len) / rpb) * rpb assembly rows (the kernels copy
+  # whole packed sublane rows); rows past slab_cap are clamped there —
+  # count them here with the same cursor arithmetic (unclamped cursors,
+  # so cascaded drops overcount conservatively, never under)
+  head_q = d_lo % rpb
+  len_q = jnp.where(d_len > 0,
+                    ((head_q + d_len + rpb - 1) // rpb) * rpb, 0)
+  cur_q = jnp.cumsum(len_q, -1) - len_q              # exclusive
+  avail_q = jnp.clip(slab_cap - (cur_q + head_q), 0, None)
+  slab_over = jnp.maximum(d_len - avail_q, 0).sum(dtype=jnp.int32)
   overflow = jnp.stack([num_far, strip_over.sum(dtype=jnp.int32),
                         slab_over, run_over, win_over])
 
@@ -591,6 +647,7 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
 
   return StreamMapping(
       table=table,
+      pid_order=pid_order,
       desc=desc,
       strip_blk=strip_blk.astype(jnp.int32),
       run_starts=run_starts,
@@ -612,6 +669,7 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
       run_cap=run_cap,
       dup_cap=dup_cap,
       depth_bits=db,
+      rows_per_block=rpb,
   )
 
 
@@ -693,7 +751,15 @@ def calibrate_stream(gaussians, depth, features, image_size,
                    build_table=False, wide_cap=wide_cap, dup_cap=dup_cap)
     desc = np.asarray(jax.device_get(m.desc)).reshape(
         m.num_groups, gw, num_slabs, 64, 4)
-    return m, desc[..., 1]
+    return m, desc[..., 1], q_rows(desc, m.rows_per_block)
+
+  def q_rows(desc, rpb):
+    # assembly rows a slab actually uses: window copies quantize to
+    # whole packed sublane rows (kernels' cursor arithmetic)
+    lo, ln = desc[..., 0], desc[..., 1]
+    head = lo % rpb
+    return np.where(ln > 0, ((head + ln + rpb - 1) // rpb) * rpb,
+                    0).sum(3)
 
   with jax.default_device(cpu):
     gaussians = jax.device_put(gaussians, cpu)
@@ -722,8 +788,8 @@ def calibrate_stream(gaussians, depth, features, image_size,
                     max(256, 1 << (int(n_dup * 1.3)).bit_length()))
 
     # ---- pass 1: unbounded capacities -> row/strip/run maxima ----------
-    m, lens = measure(config, 4, 1 << 27, 1 << 27, 1 << 27, wide_cap,
-                      dup_cap)
+    m, lens, _ = measure(config, 4, 1 << 27, 1 << 27, 1 << 27, wide_cap,
+                         dup_cap)
     tw, th = m.tiles_wide, m.tiles_high
     max_rows = int(lens.sum((2, 3)).max())
 
@@ -757,9 +823,9 @@ def calibrate_stream(gaussians, depth, features, image_size,
     num_slabs = min(MAX_SLABS,
                     max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
     for _ in range(6):
-      _, lens2 = measure(config, num_slabs, 1 << 27, slab_cap, 1 << 27,
-                         wide_cap, dup_cap)
-      max_slab_rows = int(lens2.sum(3).max())
+      _, lens2, qrows2 = measure(config, num_slabs, 1 << 27, slab_cap,
+                                 1 << 27, wide_cap, dup_cap)
+      max_slab_rows = int(qrows2.max())   # quantized = kernel cursor use
       if max_slab_rows <= slab_cap or num_slabs >= MAX_SLABS:
         break
       num_slabs = min(MAX_SLABS, num_slabs + 2)  # finer cells split slabs
@@ -772,8 +838,8 @@ def calibrate_stream(gaussians, depth, features, image_size,
     # only surface with everything bounded at once.
     over = None
     for _ in range(6):
-      m3, lens3 = measure(config, num_slabs, strip_cap, slab_cap, run_cap,
-                          wide_cap, dup_cap)
+      m3, lens3, _ = measure(config, num_slabs, strip_cap, slab_cap,
+                             run_cap, wide_cap, dup_cap)
       over = np.asarray(jax.device_get(m3.overflow))
       w_seen = int((lens3 > 0).sum(3).max())
       if over.sum() == 0 and w_seen <= w_max:

@@ -200,7 +200,7 @@ def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
     # carry pids 0..n-1 (each exactly once); duplicate rows carry pid + n
     # (invalid slots > 2n), so after the pid sort the first n rows ARE
     # the per-point gradients and the dup tail scatter-adds onto them.
-    pid = mapping.table[:n_rows, -1].astype(jnp.int32)
+    pid = mapping.pid_order[:n_rows]
     s2 = jax.lax.sort((pid,) + tuple(home_cols), num_keys=1)
     cols = [c[:n] for c in s2[1:]]
     if mapping.dup_cap > 0:

@@ -6,12 +6,22 @@ S_CAP-row blocks each — 6 pipelined DMAs per GROUP instead of 2 per
 128-row chunk, which removes the measured ~0.7 us/chunk pipeline floor of
 the chunk-grid kernels (benchmarks/exp_kernel_floor.py).
 
+The table is PACKED: RPB (usually 8) consecutive rows share one sublane
+row of RPB * row_width lanes.  A flat (N, ~11) f32 table pads its lanes
+128/11x under the TPU's (8, 128) tiling, making strip fetches the
+kernels' dominant HBM cost (~19 GB/frame at the 2M-splat headline);
+packing cuts that ~8x.  Window copies quantize to whole packed sublane
+rows; per-window validity intervals mask the head/tail pad rows (real
+neighbouring rows — exact compositing no-ops once masked).
+
 Per tile, per depth slab:
 
-* <= 24 window copies (8 class windows x 3 bands, tiered static sizes)
-  assemble the fetched rows in VMEM in FETCH order.  Rows are then kept
-  TRANSPOSED (W, C): per-row scalars live on the lane axis, where
-  elementwise coefficient math is ~16x denser than on (C, 1) columns.
+* <= w_max tiered static-size sublane copies assemble the fetched
+  windows in VMEM in FETCH order (packed domain), then ONE contiguous
+  reshape (C/RPB, RPB*W) -> (C, W) + transpose unpacks the slab.  Rows
+  are kept TRANSPOSED (W, C): per-row scalars live on the lane axis,
+  where elementwise coefficient math is ~16x denser than on (C, 1)
+  columns.
 
 * Depth ordering is never a data movement: with the pairwise mask
   ``M[i,j] = rank-key_i < rank-key_j`` (rank key = depth16<<14 | slot),
@@ -60,11 +70,19 @@ def slab_width(config: RasterConfig, f: int) -> int:
   return 7 + f + (1 if with_vis else 0) + (2 if heur else 0)
 
 _NEG_BIG = -3.0e38
-# Window-copy size tiers (last == STRIP_SLACK): each window copy moves the
-# smallest tier >= its dynamic length, so intermediate tiers trade a few
-# predicated branches for less padding traffic (avg window ~30 rows, tail
-# to ~200 — without 128/256 every 65+-row window moved 512 rows).
+# Copy-back size tiers in ROWS (last == STRIP_SLACK): each gradient
+# copy-back moves the smallest tier >= its dynamic length, so
+# intermediate tiers trade a few predicated branches for less padding
+# traffic (avg window ~30 rows, tail to ~200 — without 128/256 every
+# 65+-row window moved 512 rows).
 _TIERS = (64, 128, 256, 512)
+
+
+def _fetch_tiers(rpb: int):
+  """Window-copy size tiers in PACKED SUBLANE rows (rpb table rows per
+  sublane row; largest tier == STRIP_SLACK rows)."""
+  full = STRIP_SLACK // rpb
+  return tuple(t for t in (4, 8, 16, 32, 64, 128, 256, 512) if t <= full)
 
 
 
@@ -141,43 +159,114 @@ def _pixel_rows(pix: int, tile_size: int, dtype):
 
 
 def _assemble(desc_ref, strip_ref, rows_ref, i, s, *, s_edges: int,
-              w_max: int, c_cap: int):
-  """Copy the fetch windows of (tile i, merged slab s) into rows_ref in
-  fetch order, driven by the mapper's compacted window descriptors
-  [lo_flat, len, gbuf_dst, class].  Returns (row count, per-window
-  metadata (dst_cursor, gbuf_dst, class, len) for the backward).
+              w_max: int, c_cap: int, rpb: int):
+  """Copy the fetch windows of (tile i, merged slab s) into rows_ref
+  (PACKED rpb-rows-per-sublane domain) in fetch order, driven by the
+  mapper's compacted window descriptors [lo_flat, len, gbuf_dst, class].
+  Copies quantize to whole packed sublane rows: window rows [lo, lo+len)
+  land at assembly slots [slot0, slot0+len) with slot0 = cur8*rpb +
+  lo % rpb.  Head/tail pad slots hold REAL neighbouring table rows —
+  they become exact compositing no-ops via the validity intervals in the
+  returned metadata (list of (slot0, len, gbuf_dst, class)); stale slots
+  past a window's tier copy are likewise invalid-masked.
 
-  Tiered static-size copies; each window's overrun tail is overwritten by
-  the next window (rows_ref has _TIERS[-1] slack rows)."""
-  cursor = jnp.int32(0)
+  Tiered static-size sublane copies (rows_ref has _fetch_tiers(rpb)[-1]
+  slack sublane rows for the largest tier's overrun)."""
+  tiers = _fetch_tiers(rpb)
+  c8_cap = c_cap // rpb
+  cur8 = jnp.int32(0)
   meta = []
   base = (i * s_edges + s) * (w_max * 4)
   for w in range(w_max):
     lo = desc_ref[0, 0, base + 4 * w]
+    lo8 = lo // rpb
+    head = lo - lo8 * rpb
     ln = desc_ref[0, 0, base + 4 * w + 1]
-    ln = jnp.minimum(ln, c_cap - cursor)
-    for t_i, tier in enumerate(_TIERS):
-      lower = _TIERS[t_i - 1] if t_i else 0
+    ln = jnp.maximum(jnp.minimum(ln, c_cap - (cur8 * rpb + head)), 0)
+    ln8 = jnp.where(ln > 0, (head + ln + rpb - 1) // rpb, 0)
+    for t_i, tier in enumerate(tiers):
+      lower = tiers[t_i - 1] if t_i else 0
 
-      @pl.when((ln > lower) & (ln <= tier))
-      def _(lo=lo, tier=tier, cur=cursor):
-        rows_ref[pl.ds(cur, tier), :] = strip_ref[pl.ds(lo, tier), :]
-    meta.append((cursor, desc_ref[0, 0, base + 4 * w + 2],
-                 desc_ref[0, 0, base + 4 * w + 3], ln))
-    cursor = cursor + ln
-  return cursor, meta
+      @pl.when((ln8 > lower) & (ln8 <= tier))
+      def _(lo8=lo8, tier=tier, cur8=cur8):
+        rows_ref[pl.ds(cur8, tier), :] = strip_ref[pl.ds(lo8, tier), :]
+    meta.append((cur8 * rpb + head, ln,
+                 desc_ref[0, 0, base + 4 * w + 2],
+                 desc_ref[0, 0, base + 4 * w + 3]))
+    cur8 = cur8 + ln8
+  return meta
 
 
-def _rank_mask(rows_t, cnt, c_cap: int, depth_bits: int = 14):
-  """(C, C) bf16 mask M[i,j] = depth-rank_i < depth-rank_j, fetch order.
+def _slot_lane(c_cap: int, rpb: int):
+  """(1, C) i32 — the FETCH slot held by each unpacked lane.
 
-  Rank key = depth << 11 | slot (distinct; ties broken by fetch slot);
-  rows at/after cnt rank last (their alpha is masked to 0 anyway).  The
+  The V_a unpack (transpose + rpb sublane slices + lane concat,
+  benchmarks/exp_pack2.py) emits lanes in PERMUTED order
+  c' = k * (C/rpb) + r8 for fetch slot rpb * r8 + k.  Compositing is
+  permutation-invariant (all contractions sum over the row axis), so
+  the kernels simply carry this static slot map for the rank keys and
+  validity masks; only the backward's gradient rows are permuted back
+  (one one-hot matmul) for the contiguous copy-back."""
+  cp = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
+  c8 = c_cap // rpb
+  return (cp % c8) * rpb + cp // c8
+
+
+def _slot_perm(slot_lane, c_cap: int):
+  """(C, C') bf16 one-hot P[c, c'] = (slot of lane c' == c): contracting
+  away the c' axis restores fetch-slot row order (exact 0/1 operand)."""
+  slot_col = jax.lax.broadcasted_iota(jnp.int32, (c_cap, 1), 0)
+  return (slot_col == slot_lane).astype(jnp.bfloat16)
+
+
+def _permT(pm_bf16, x, contract_x: int):
+  """dot(P, x) contracting x's c' axis -> (C, k) rows in fetch-slot
+  order; 2-pass split bf16 (P is exact 0/1, so this is a ~2^-16-relative
+  permutation — gradient-class data only).  CPU interpret stays exact."""
+  if use_interpret():
+    return _mm(pm_bf16.astype(x.dtype), x, ((1,), (contract_x,)))
+  hi = x.astype(jnp.bfloat16)
+  out = _mm(pm_bf16, hi, ((1,), (contract_x,)),
+            precision=jax.lax.Precision.DEFAULT)
+  lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+  out = out + _mm(pm_bf16, lo, ((1,), (contract_x,)),
+                  precision=jax.lax.Precision.DEFAULT)
+  return out.astype(x.dtype)
+
+
+def _unpack_rows(rows_ref, c_cap: int, rpb: int, w_row: int):
+  """Packed (C/rpb, rpb*w_pad) assembly block -> (w_row, C) lane-major
+  rows in PERMUTED slot order (see _slot_lane): one 2D transpose + rpb
+  static sublane slices + one lane concat — measured FASTER than the
+  unpacked layout's (C, W) transpose (0.43 vs 1.0 us/slab) because the
+  packed block is an 8x smaller read."""
+  c8 = c_cap // rpb
+  w_pad = rows_ref.shape[-1] // rpb
+  xt = jnp.transpose(rows_ref[0:c8, :])              # (rpb*w_pad, C/rpb)
+  return jnp.concatenate(
+      [xt[w_pad * k:w_pad * k + w_row, :] for k in range(rpb)], 1)
+
+
+def _valid_mask(meta, slot_lane):
+  """(1, C) bool — lanes holding a window's real rows (quantization pads
+  and stale scratch excluded)."""
+  v = jnp.zeros(slot_lane.shape, jnp.bool_)
+  for (s0, ln, _, _) in meta:
+    v = jnp.logical_or(v, (slot_lane >= s0) & (slot_lane < s0 + ln))
+  return v
+
+
+def _rank_mask(rows_t, valid, slot_lane, depth_bits: int = 14):
+  """(C, C) bf16 mask M[i,j] = depth-rank_i < depth-rank_j (lane order =
+  the unpack's permuted slots; the contraction sums over rows, so order
+  only matters through the rank key itself).
+
+  Rank key = depth << 11 | fetch slot (distinct; ties broken by slot);
+  invalid lanes rank last (their alpha is masked to 0 anyway).  The
   table's rank column stores the pre-masked depth rank BY VALUE (exact in
   f32 below 2^24; bitcast storage flushes on TPU — see stream_map)."""
-  d14 = rows_t[-2:-1, :].astype(jnp.int32)
-  slot = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
-  rk = jnp.where(slot < cnt, (d14 << 11) | slot, jnp.int32(2 ** 31 - 1))
+  d14 = rows_t[-1:, :].astype(jnp.int32)
+  rk = jnp.where(valid, (d14 << 11) | slot_lane, jnp.int32(2 ** 31 - 1))
   rk_col = jnp.transpose(rk)                     # (C, 1)
   return (rk_col < rk).astype(jnp.bfloat16)      # [i, j] = rank_i < rank_j
 
@@ -224,16 +313,17 @@ def _uv_rows(geo, scale: bool):
   return lu, lv
 
 
-def _alpha(geo, basis3, basis6, cnt, config, c_cap: int):
+def _alpha(geo, basis3, basis6, valid_col, config, c_cap: int):
   """(C, PIX) clamped/thresholded compositing alpha + raw alpha (+ the
-  antialias aux (tu, tv) when config.antialias).
+  antialias aux (tu, tv) when config.antialias).  ``valid_col`` is the
+  (C, 1) bool validity column (Mosaic cannot transpose i1 vectors, so
+  callers build both orientations from the slot map directly).
 
   Quadratic form: one (6,C)x(6,PIX) matmul + one exp; log point_alpha is
   folded into the constant term (all-zero rows give alpha ~ 0).
   Antialias: two (3,C)x(3,PIX) matmuls + the S_sig integral
   (reference generic.py:340-404)."""
   mlx, mly, ax, ay, sx, sy, pa = geo
-  slot_col = jax.lax.broadcasted_iota(jnp.int32, (c_cap, 1), 0)
   if config.antialias:
     lu, lv = _uv_rows(geo, scale=False)
     tu = _mm2(lu, basis3, ((0,), (0,)))                       # (C, PIX)
@@ -257,7 +347,7 @@ def _alpha(geo, basis3, basis6, cnt, config, c_cap: int):
     lq = jnp.concatenate([cxx, cxy, cyy, c_px, c_py, c_1], 0)  # (6, C)
     a_raw = jnp.exp(_mm2(lq, basis6, ((0,), (0,))))            # (C, PIX)
     aux = None
-  ok = (a_raw > config.alpha_threshold) & (slot_col < cnt)
+  ok = (a_raw > config.alpha_threshold) & valid_col
   a = jnp.where(ok, jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
   return a, a_raw, aux
 
@@ -271,10 +361,12 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 img_ref, cnt_ref, strip_ref, rows_ref, carry_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
-                w_max: int, depth_bits: int = 14, ablate: str = ""):
+                w_max: int, rpb: int, depth_bits: int = 14,
+                ablate: str = ""):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
+  w_row = 7 + f + 1
   if config.use_alpha_blending:
     lcut = _log_cut(config)
   else:
@@ -284,13 +376,16 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
             if config.saturate_threshold > 0.0 else _NEG_BIG)
   ts = config.tile_size
 
-  stride = 2 * s_cap + STRIP_SLACK
+  s8 = s_cap // rpb
+  stride8 = (2 * s_cap + STRIP_SLACK) // rpb
   for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
-    strip_ref[b * stride:b * stride + s_cap, :] = blk_a[...]
-    strip_ref[b * stride + s_cap:b * stride + 2 * s_cap, :] = blk_b[...]
+    strip_ref[b * stride8:b * stride8 + s8, :] = blk_a[...]
+    strip_ref[b * stride8 + s8:b * stride8 + 2 * s8, :] = blk_b[...]
 
   cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
+  slot_lane = _slot_lane(c_cap, rpb)
+  slot_col = jnp.transpose(slot_lane)    # (C, 1); i1 can't transpose
   _, _, basis3, basis6 = _pixel_rows(pix, ts, dtype)
 
   def tile_body(i, _):
@@ -305,19 +400,25 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
       saturated = jnp.logical_and(
           jnp.logical_not(first), jnp.max(carry_ref[...]) <= lcut)
 
-      def _compute(cnt):
+      def _compute(meta):
         cnt_ref[0, :] += 1.0
-        rows_t = jnp.transpose(rows_ref[0:c_cap, :])        # (W, C)
+        rows_t = _unpack_rows(rows_ref, c_cap, rpb, w_row)  # (W, C)
         if ablate == "skeleton":
           img_ref[i, :, :] = rows_t[0:f + 1, 0:pix] * 1e-9
           return
-        # zero rows beyond the assembled count: stale scratch may hold NaN
-        # bit patterns, and 0 * NaN = NaN would poison every contraction
-        # over the row axis (same trap as layout.py's segment-sum)
-        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
-        rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
+        # zero lanes outside the window validity intervals: quantization
+        # pads hold real neighbouring rows (double-composite hazard) and
+        # stale scratch may hold NaN bit patterns (0 * NaN = NaN would
+        # poison every contraction over the row axis)
+        if meta:
+          valid = _valid_mask(meta, slot_lane)
+          valid_col = _valid_mask(meta, slot_col)
+        else:                                       # no_assemble ablation
+          valid = jnp.ones((1, c_cap), jnp.bool_)
+          valid_col = jnp.ones((c_cap, 1), jnp.bool_)
+        rows_t = jnp.where(valid, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
-        a, _, _ = _alpha(geo, basis3, basis6, cnt, config, c_cap)
+        a, _, _ = _alpha(geo, basis3, basis6, valid_col, config, c_cap)
 
         l = jnp.log1p(-a)                                   # (C, PIX)
         if ablate == "no_mask":
@@ -331,7 +432,8 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
           lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                             carry_ref[...])
         else:
-          mask_lt = _rank_mask(rows_t, cnt, c_cap, depth_bits)  # (C, C)
+          mask_lt = _rank_mask(rows_t, valid, slot_lane,
+                               depth_bits)                    # (C, C)
           lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                             carry_ref[...])
           lt = _mask_mm(mask_lt, l, ((0,), (0,)),
@@ -391,12 +493,12 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
           jnp.logical_not(saturated), jnp.logical_or(slab_used, first)))
       def _():
         if ablate == "no_assemble":
-          cnt = jnp.int32(c_cap)
+          meta = []
         else:
-          cnt, _meta = _assemble(
+          meta = _assemble(
               desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
-              w_max=w_max, c_cap=c_cap)
-        _compute(cnt)
+              w_max=w_max, c_cap=c_cap, rpb=rpb)
+        _compute(meta)
 
       return 0
 
@@ -431,8 +533,9 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
   groups_x = mapping.tiles_wide // gw
   s_cap = mapping.strip_cap
   c_cap = mapping.slab_cap
+  rpb = mapping.rows_per_block
   pix = config.tile_area
-  width = mapping.table.shape[1]
+  width = mapping.table.shape[1]        # rpb * row_width packed lanes
   dtype = mapping.table.dtype
   n_groups = mapping.num_groups
   desc_w = mapping.desc.shape[-1]
@@ -440,14 +543,14 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
   kernel = functools.partial(
       _fwd_kernel, config=config, f=f, gw=gw, tw=mapping.tiles_wide,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
-      s_cap=s_cap, w_max=mapping.w_max, depth_bits=mapping.depth_bits,
-      ablate=ablate)
+      s_cap=s_cap, w_max=mapping.w_max, rpb=rpb,
+      depth_bits=mapping.depth_bits, ablate=ablate)
 
   def strip_spec(b, which):
     # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
     # operands get lane-padded 3->128 in SMEM (3 MB at 6k groups)
     return pl.BlockSpec(
-        (s_cap, width),
+        (s_cap // rpb, width),
         lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -465,8 +568,10 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
           pl.BlockSpec((8, 128), lambda g, sb: (g, 0)),
       ],
       scratch_shapes=[
-          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK), width), dtype),
-          pltpu.VMEM((c_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK) // rpb, width),
+                     dtype),
+          pltpu.VMEM((c_cap // rpb + _fetch_tiers(rpb)[-1], width),
+                     dtype),
           pltpu.VMEM((1, pix), dtype),
       ],
   )
@@ -501,23 +606,28 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
                 strip_ref, rows_ref, carry_ref, grows_ref,
                 *, config: RasterConfig, f: int, gw: int, tw: int, th: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
-                run_cap: int, slabw: int, w_max: int,
+                run_cap: int, slabw: int, w_max: int, rpb: int,
                 depth_bits: int = 14):
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
+  w_row = 7 + f + 1
   lcut = _log_cut(config)
   heur = config.compute_point_heuristic
   with_vis = heur or config.compute_visibility
   ts = config.tile_size
 
-  stride = 2 * s_cap + STRIP_SLACK
+  s8 = s_cap // rpb
+  stride8 = (2 * s_cap + STRIP_SLACK) // rpb
   for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
-    strip_ref[b * stride:b * stride + s_cap, :] = blk_a[...]
-    strip_ref[b * stride + s_cap:b * stride + 2 * s_cap, :] = blk_b[...]
+    strip_ref[b * stride8:b * stride8 + s8, :] = blk_a[...]
+    strip_ref[b * stride8 + s8:b * stride8 + 2 * s8, :] = blk_b[...]
 
   gout_ref[...] = jnp.zeros(gout_ref.shape, gout_ref.dtype)
 
+  slot_lane = _slot_lane(c_cap, rpb)
+  slot_col = jnp.transpose(slot_lane)    # (C, 1); i1 can't transpose
+  pm = _slot_perm(slot_lane, c_cap)      # lane c' -> fetch-slot rows
   pxl, pyl, basis3, basis6 = _pixel_rows(pix, ts, dtype)
   ones_pix = jnp.ones((1, pix), dtype)
 
@@ -535,16 +645,18 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
       saturated = jnp.logical_and(
           jnp.logical_not(first), jnp.max(carry_ref[0:1, :]) <= lcut)
 
-      def _compute(cnt, meta):
-        rows_t = jnp.transpose(rows_ref[0:c_cap, :])
-        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, c_cap), 1)
-        rows_t = jnp.where(slot_row < cnt, rows_t, 0.0)
+      def _compute(meta):
+        rows_t = _unpack_rows(rows_ref, c_cap, rpb, w_row)  # (W, C)
+        valid = _valid_mask(meta, slot_lane)
+        valid_col = _valid_mask(meta, slot_col)
+        rows_t = jnp.where(valid, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
         mlx, mly, ax, ay, sx, sy, pa = geo
-        a, a_raw, aa_aux = _alpha(geo, basis3, basis6, cnt, config, c_cap)
+        a, a_raw, aa_aux = _alpha(geo, basis3, basis6, valid_col, config,
+                                  c_cap)
 
         l = jnp.log1p(-a)
-        mask_lt = _rank_mask(rows_t, cnt, c_cap, depth_bits)
+        mask_lt = _rank_mask(rows_t, valid, slot_lane, depth_bits)
         lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                           carry_ref[0:1, :])
         lt = _mask_mm(mask_lt, l, ((0,), (0,)),
@@ -660,7 +772,10 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
           parts = [g7, g_feats]
           if extras is not None:
             parts.append(extras)
-        grows_ref[0:c_cap, :] = jnp.concatenate(parts, -1)  # (C, slabw)
+        # permute the c'-ordered gradient rows back to fetch-slot order
+        # (contiguous copy-back ranges); one one-hot matmul, ~2^-16 rel
+        grows_ref[0:c_cap, :] = _permT(
+            pm, jnp.concatenate(parts, -1), 0)              # (C, slabw)
 
         # copy-back: fetch-order grad rows -> RUN_CAP-strided band buffers.
         # Value-level RMW (a raw tiered copy's overrun tail would clobber
@@ -668,7 +783,7 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         # class's lane slab is selected by a dynamic lane ROLL + mask —
         # dynamic offsets are only legal on sublanes, and narrow-lane
         # buffers would tile-pad 12.8x, so all 9 slabs share the lane axis.
-        for src_cur, dst, bk, ln in meta:
+        for src_cur, ln, dst, bk in meta:
           left = bk * slabw
           for t_i, tier in enumerate(_TIERS):
             lower = _TIERS[t_i - 1] if t_i else 0
@@ -707,10 +822,10 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
       @pl.when(jnp.logical_and(
           jnp.logical_not(saturated), jnp.logical_or(slab_used, first)))
       def _():
-        cnt, meta = _assemble(
+        meta = _assemble(
             desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
-            w_max=w_max, c_cap=c_cap)
-        _compute(cnt, meta)
+            w_max=w_max, c_cap=c_cap, rpb=rpb)
+        _compute(meta)
 
       return 0
 
@@ -913,6 +1028,7 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
   groups_x = tw // gw
   s_cap = mapping.strip_cap
   c_cap = mapping.slab_cap
+  rpb = mapping.rows_per_block
   pix = config.tile_area
   width = mapping.table.shape[1]
   dtype = mapping.table.dtype
@@ -924,11 +1040,11 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       _bwd_kernel, config=config, f=f, gw=gw, tw=tw, th=mapping.tiles_high,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
       s_cap=s_cap, run_cap=run_cap, slabw=slabw, w_max=mapping.w_max,
-      depth_bits=mapping.depth_bits)
+      rpb=rpb, depth_bits=mapping.depth_bits)
 
   def strip_spec(b, which):
     return pl.BlockSpec(
-        (s_cap, width),
+        (s_cap // rpb, width),
         lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -948,8 +1064,10 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
                        lambda g, sb: (g, 0, 0)),
       ],
       scratch_shapes=[
-          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK), width), dtype),
-          pltpu.VMEM((c_cap + _TIERS[-1], width), dtype),
+          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK) // rpb, width),
+                     dtype),
+          pltpu.VMEM((c_cap // rpb + _fetch_tiers(rpb)[-1], width),
+                     dtype),
           pltpu.VMEM((2, pix), dtype),
           pltpu.VMEM((c_cap + _TIERS[-1], slabw), dtype),
       ],
