@@ -174,11 +174,13 @@ def lift_to_3d(packed, depth_ndc, feats, image_size, near, far, fov_deg):
 
 def _trainer_config(gw):
   from tpu_splatting import RasterConfig
+  # passes=1 validated on-chip: check_tpu ALL PASS at gw8/p1 with error
+  # bounds ~= p2 (image rel_p99 3.2e-3 vs 2.9e-3) and saves ~17 ms/frame
   return RasterConfig(compute_point_heuristic=True,
                       compute_visibility=True,
                       stream_group_width=gw,
                       stream_passes=int(
-                          os.environ.get("TPU_SPLAT_PASSES", "2")))
+                          os.environ.get("TPU_SPLAT_PASSES", "1")))
 
 
 def bench_scene(name, packed, depth, feats, gw):
@@ -350,7 +352,10 @@ def main():
       "uniform": uniform_scene(rng, N, IMAGE_SIZE),
       "heavy": heavy_scene(np.random.default_rng(1), N, IMAGE_SIZE),
   }
-  gw = int(os.environ.get("TPU_SPLAT_GW", "2"))
+  # gw=8 measured fastest at the headline scene (A/B r4: full fwd+bwd
+  # 269.3 ms at gw=2 vs 251.6 at gw=8, passes=2); the auto renderer
+  # default (auto_group_width) picks 8 as well
+  gw = int(os.environ.get("TPU_SPLAT_GW", "8"))
 
   out = {"metric": "synthetic_bicycle_2048px_fwd_bwd", "unit": "ms"}
   errors = {}

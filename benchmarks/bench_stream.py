@@ -96,7 +96,8 @@ def main():
               iters=it)
 
 
-if __name__ == "__main__" and "--profile-fwd" not in __import__("sys").argv:
+if __name__ == "__main__" and not any(
+    a in __import__("sys").argv for a in ("--profile-fwd", "--profile-bwd")):
   main()
 
 
@@ -110,12 +111,13 @@ def profile_fwd():
   p.add_argument("--scale", type=float, default=1.2)
   p.add_argument("--group-width", type=int, default=4)
   p.add_argument("--slab-cap", type=int, default=512)
+  p.add_argument("--passes", type=int, default=2)
   p.add_argument("--profile-fwd", action="store_true")
   args, _ = p.parse_known_args()
   image_size = (args.width, args.height)
   packed, depth, feats = synthetic_2d(args.n, image_size,
                                       scale_factor=args.scale)
-  config = RasterConfig()
+  config = RasterConfig(stream_passes=args.passes)
   gw = args.group_width
   cal = calibrate_stream(packed, depth, feats, image_size, config,
                          group_width=gw, slab_cap=args.slab_cap)
@@ -137,6 +139,53 @@ def profile_fwd():
                 (m,), iters=3)
 
 
+def profile_bwd():
+  """Ablation profile of the BACKWARD kernel at the headline scene.
+
+  full - no_copyback = tiered RMW copy-back cost; full - no_mask = the
+  two rank-mask matmul passes; no_grad isolates the per-point gradient
+  chains; skeleton = assemble + copy-back floor."""
+  import argparse
+  p = argparse.ArgumentParser()
+  p.add_argument("--n", type=int, default=2_000_000)
+  p.add_argument("--width", type=int, default=2048)
+  p.add_argument("--height", type=int, default=1536)
+  p.add_argument("--scale", type=float, default=1.2)
+  p.add_argument("--group-width", type=int, default=8)
+  p.add_argument("--slab-cap", type=int, default=512)
+  p.add_argument("--passes", type=int, default=1)
+  p.add_argument("--profile-bwd", action="store_true")
+  args, _ = p.parse_known_args()
+  image_size = (args.width, args.height)
+  packed, depth, feats = synthetic_2d(args.n, image_size,
+                                      scale_factor=args.scale)
+  config = RasterConfig(compute_point_heuristic=True,
+                        compute_visibility=True,
+                        stream_passes=args.passes)
+  gw = args.group_width
+  cal = calibrate_stream(packed, depth, feats, image_size, config,
+                         group_width=gw, slab_cap=args.slab_cap)
+  print("# calibration:", cal)
+  m = jax.jit(lambda p_, d_, f_: stream_map(
+      p_, d_, f_, image_size, config, num_slabs=cal["num_slabs"],
+      strip_cap=cal["strip_cap"], slab_cap=cal["slab_cap"],
+      group_width=gw, w_max=cal["w_max"],
+      run_cap=cal["run_cap"]))(packed, depth, feats)
+  from tpu_splatting.rasterizer.stream_kernels import (
+      slab_width, stream_backward, stream_forward)
+  image_tiled = jax.jit(
+      lambda mm: stream_forward(mm, config))(m)
+  g_img = jnp.ones_like(image_tiled)
+  for ab in ("", "no_copyback", "no_mask", "no_grad", "skeleton"):
+    benchmarked(f"bwd ablate={ab or 'none'}",
+                lambda mm, it, gi, ab=ab: stream_backward(
+                    mm, it, gi, config, cal["run_cap"], ablate=ab),
+                (m, image_tiled, g_img), iters=3)
+
+
 if __name__ == "__main__" and "--profile-fwd" in __import__("sys").argv:
   profile_fwd()
+  raise SystemExit(0)
+if __name__ == "__main__" and "--profile-bwd" in __import__("sys").argv:
+  profile_bwd()
   raise SystemExit(0)

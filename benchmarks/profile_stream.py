@@ -84,6 +84,16 @@ def main():
   if "bwd" in stages:
     benchmarked("bwd", bwd_f, (m, image_tiled, g_img), iters=args.iters)
 
+  if "asm" in stages:
+    # shared-assembly variants (config.stream_share_asm dataflow)
+    fwd_a = lambda mm: stream_forward(mm, config, with_asm=True)
+    _, asm = jax.jit(fwd_a)(m)
+    benchmarked("fwd+asm_out", fwd_a, (m,), iters=args.iters)
+    bwd_a = lambda mm, it, gi, a: stream_backward(mm, it, gi, config,
+                                                  run_cap, asm=a)
+    benchmarked("bwd_from_asm", bwd_a, (m, image_tiled, g_img, asm),
+                iters=args.iters)
+
   red_f = lambda go, mm: stream_reduce(go, mm, run_cap, slabw)
   if "reduce" in stages:
     benchmarked("reduce", red_f, (gout, m), iters=args.iters)

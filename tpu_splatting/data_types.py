@@ -112,6 +112,15 @@ class RasterConfig:
   # cheaper forward/backward).  CPU interpret mode is always exact.
   stream_passes: int = 2
 
+  # Share the forward's assembled slab blocks with the backward: the
+  # forward kernel writes each (tile, slab) working set it assembles as a
+  # second output and the backward reads it instead of re-running the
+  # window copies (measured ~32 ms/frame of tiered VMEM copies at the 2M
+  # headline) and the strip DMAs.  Costs one (G, gw*S*c_cap/rpb, 128) f32
+  # HBM buffer (~1.6 GB at the headline shapes) held as a residual; scenes
+  # with many depth slabs (large num_slabs) may prefer re-assembly.
+  stream_share_asm: bool = True
+
   # HBM budget (MB) for the backward's per-group gradient-slab blocks.
   # Scenes with very long home runs (run_cap in the thousands) would need
   # a gout buffer far beyond HBM; when the full buffer exceeds this

@@ -107,8 +107,12 @@ def band_sharded_grad(mapping: StreamMapping, g_image_tiled,
     band0 = d * th_local
     lm = _local_mapping(mapping, desc, strip_blk, table, run_starts,
                         overflow, th_local)
-    img = stream_forward(lm, config, band0=band0)
-    gout = stream_backward(lm, img, gimg, config, rc, band0=band0)
+    if config.stream_share_asm:
+      img, asm = stream_forward(lm, config, band0=band0, with_asm=True)
+    else:
+      img, asm = stream_forward(lm, config, band0=band0), None
+    gout = stream_backward(lm, img, gimg, config, rc, band0=band0,
+                           asm=asm)
 
     # halo exchange: shard edges need the adjacent band's slab blocks.
     # ppermute delivers zeros to shards with no peer — exactly the

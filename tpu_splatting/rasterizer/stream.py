@@ -152,14 +152,21 @@ jax.tree_util.register_dataclass(
 def rows_per_block_for(row_width: int) -> Tuple[int, int]:
   """(rows per packed sublane row, padded scalars per row).
 
-  The packed stride w_pad is the next power of two >= row_width so a
-  full packed sublane row is exactly 128 lanes (the kernels' unpack —
-  one (rpb*w_pad, C/rpb) transpose + rpb static sublane slices — needs
-  pow2-aligned strides; Mosaic rejects sublane<->lane reshapes
-  outright, benchmarks/exp_pack2.py).  Wide feature vectors pack fewer
-  rows; beyond 64 scalars the layout degenerates to one row per sublane
-  row."""
-  w_pad = 8
+  A packed sublane row is always exactly 128 lanes (stride = 128/rpb
+  pow2-aligned; the kernels' unpack — one transpose + rpb static
+  sublane slices — needs that, and Mosaic rejects sublane<->lane
+  reshapes outright, benchmarks/exp_pack2.py).
+
+  rpb CAPS AT 4, not the lane-density optimum 8: window copies quantize
+  to whole packed rows, and at rpb=8 the ~8-row-per-window padding tax
+  (~15 merged windows/tile) pushes typical headline tiles past
+  slab_cap.  A split slab covers a single depth cell whose class
+  windows can no longer merge (cells are the sort key's innermost
+  field), so splitting doubles BOTH the per-tile mask-matmul count and
+  the window count (measured: fwd 75 -> 186 ms).  rpb=4 halves the
+  padding (tiles stay single-slab), still fetches 3.6x less than the
+  unpacked layout, and keeps VMEM small enough for group_width=8."""
+  w_pad = 32
   while w_pad < row_width:
     w_pad *= 2
   return max(1, 128 // w_pad), w_pad
@@ -489,13 +496,27 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
         hvalids[w][:, :, None], ce[:, :, 1:] - ce[:, :, :-1], 0)
 
   # --- per-tile slab PLAN: greedy packing of adjacent depth cells --------
+  # The cut rule reserves rpb*16 rows of the cap for window-quantization
+  # padding (~16 merged windows per single-cell... per slab).  The TRUE
+  # padding is rpb x (post-merge window count), which the greedy cannot
+  # know (windows merge across classes AND cells only once the packing
+  # is fixed); a per-cell window-count allowance overcounts so badly it
+  # splits tiles that would fit — and a split slab covers a single depth
+  # cell whose class windows can no longer merge (cells are the sort
+  # key's innermost field), roughly doubling both slab and window counts
+  # (measured fwd 75 -> 186 ms).  When the reserve underestimates,
+  # calibration's validation pass sees the exact quantized overflow and
+  # escalates num_slabs, then slab_cap.
+  pad_reserve = rpb * 16
+
   def greedy(cnt_cells):
-    acc = cnt_cells[0]
+    load = lambda cell: cnt_cells[cell]
+    acc = load(0)
     cuts = []
     for cell in range(1, s_edges):
-      cut = acc + cnt_cells[cell] > slab_cap
+      cut = acc + load(cell) > slab_cap - pad_reserve
       cuts.append(cut)
-      acc = jnp.where(cut, cnt_cells[cell], acc + cnt_cells[cell])
+      acc = jnp.where(cut, load(cell), acc + load(cell))
     bounds_l = [jnp.int32(0)]
     for cell in range(1, s_edges):
       bounds_l.append(jnp.where(cuts[cell - 1], cell, 0))
@@ -850,6 +871,10 @@ def calibrate_stream(gaussians, depth, features, image_size,
       if over[1] > 0:                      # strip
         strip_cap *= 2
       if over[2] > 0:                      # slab: finer depth cells
+        if num_slabs + 4 > MAX_SLABS and slab_cap < 2048:
+          # finer cells exhausted: the quantization padding itself must
+          # not fit — widen the slab (rank-key slot limit 2048)
+          slab_cap = min(2048, slab_cap + 128)
         num_slabs = min(MAX_SLABS, num_slabs + 4)
       if over[3] > 0:                      # run
         run_cap *= 2

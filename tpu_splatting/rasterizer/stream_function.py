@@ -86,7 +86,8 @@ def _pick_band_chunk(th: int, band_bytes: int, budget: int) -> int:
 
 
 def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
-                    config: RasterConfig, run_cap: int, slabw: int):
+                    config: RasterConfig, run_cap: int, slabw: int,
+                    asm=None):
   """Backward kernel + slab merge, single-pass or band-chunked.
 
   The per-group slab blocks cost (gw+2)*run_cap rows x 128 lanes per
@@ -107,7 +108,7 @@ def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
   budget = config.stream_gout_budget_mb * (1 << 20)
   if budget <= 0 or th * band_bytes <= budget:
     gout = stream_backward(mapping, image_tiled, g_image_tiled, config,
-                           run_cap)
+                           run_cap, asm=asm)
     acc_cols = merge_grad_slabs(gout, mapping, run_cap, slabw)
     return reduce_stage2(acc_cols, mapping, run_cap)
 
@@ -132,6 +133,10 @@ def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
   sb_p = jnp.pad(mapping.strip_blk, zg + ((0, 0),))
   img_p = jnp.pad(image_tiled, zt + ((0, 0), (0, 0)))
   gimg_p = jnp.pad(g_image_tiled, zt + ((0, 0), (0, 0)))
+  # halo bands' padded asm blocks are zeros: their descriptors are empty
+  # (len 0), so every lane is validity-masked regardless
+  asm_p = (jnp.pad(asm, zg + ((0, 0), (0, 0)))
+           if asm is not None else None)
 
   def step(i):
     g0 = i * k * groups_x                # padded row of band i*k - 1
@@ -140,9 +145,11 @@ def backward_reduce(mapping: StreamMapping, image_tiled, g_image_tiled,
     sb = jax.lax.dynamic_slice_in_dim(sb_p, g0, gpc, 0)
     im = jax.lax.dynamic_slice_in_dim(img_p, t0, tpc, 0)
     gi = jax.lax.dynamic_slice_in_dim(gimg_p, t0, tpc, 0)
+    a = (jax.lax.dynamic_slice_in_dim(asm_p, g0, gpc, 0)
+         if asm_p is not None else None)
     lmc = dataclasses.replace(lm_src, desc=d, strip_blk=sb)
     gout = stream_backward(lmc, im, gi, config, run_cap,
-                           band0=i * k - 1)
+                           band0=i * k - 1, asm=a)
     cols = merge_grad_slabs(gout, lm_out, run_cap, slabw, halo=True)
     return jnp.stack(cols)               # (slabw, k*tw*run_cap)
 
@@ -316,15 +323,19 @@ def _stream_function(config: RasterConfig, run_cap: int):
     return stream_forward(mapping, config)
 
   def fwd(gaussians2d, features, probe, mapping):
-    image_tiled = stream_forward(mapping, config)
-    return image_tiled, (image_tiled, mapping)
+    if config.stream_share_asm:
+      image_tiled, asm = stream_forward(mapping, config, with_asm=True)
+    else:
+      image_tiled = stream_forward(mapping, config)
+      asm = None
+    return image_tiled, (image_tiled, mapping, asm)
 
   def bwd(residuals, g_image_tiled):
-    image_tiled, mapping = residuals
+    image_tiled, mapping, asm = residuals
     f = mapping.feature_size
     slabw = slab_width(config, f)
     cols = backward_reduce(mapping, image_tiled, g_image_tiled, config,
-                           run_cap, slabw)
+                           run_cap, slabw, asm=asm)
     dt = cols[0].dtype
     n = mapping.num_points
     g_g2d = jnp.stack(cols[:7], -1)

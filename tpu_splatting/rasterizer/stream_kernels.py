@@ -159,7 +159,8 @@ def _pixel_rows(pix: int, tile_size: int, dtype):
 
 
 def _assemble(desc_ref, strip_ref, rows_ref, i, s, *, s_edges: int,
-              w_max: int, c_cap: int, rpb: int):
+              w_max: int, c_cap: int, rpb: int, do_copy: bool = True,
+              base8=None):
   """Copy the fetch windows of (tile i, merged slab s) into rows_ref
   (PACKED rpb-rows-per-sublane domain) in fetch order, driven by the
   mapper's compacted window descriptors [lo_flat, len, gbuf_dst, class].
@@ -171,10 +172,21 @@ def _assemble(desc_ref, strip_ref, rows_ref, i, s, *, s_edges: int,
   past a window's tier copy are likewise invalid-masked.
 
   Tiered static-size sublane copies (rows_ref has _fetch_tiers(rpb)[-1]
-  slack sublane rows for the largest tier's overrun)."""
+  slack sublane rows for the largest tier's overrun).  ``do_copy=False``
+  computes the metadata only (scalar desc reads — cheap): the backward
+  uses it when it reads the forward's shared assembled blocks instead of
+  re-running the copies (config.stream_share_asm).
+
+  ``base8``: assembly destination base in packed sublane rows — the
+  shared-assembly forward assembles every (tile, slab) of the group into
+  ONE big scratch at per-slab offsets so the group's blocks leave as one
+  static full-block output copy (16 dynamic partial writes to an out_ref
+  measured +39 ms/frame).  Metadata slots stay slab-relative."""
   tiers = _fetch_tiers(rpb)
   c8_cap = c_cap // rpb
-  cur8 = jnp.int32(0)
+  if base8 is None:
+    base8 = jnp.int32(0)
+  cur8 = base8
   meta = []
   base = (i * s_edges + s) * (w_max * 4)
   for w in range(w_max):
@@ -182,15 +194,17 @@ def _assemble(desc_ref, strip_ref, rows_ref, i, s, *, s_edges: int,
     lo8 = lo // rpb
     head = lo - lo8 * rpb
     ln = desc_ref[0, 0, base + 4 * w + 1]
-    ln = jnp.maximum(jnp.minimum(ln, c_cap - (cur8 * rpb + head)), 0)
+    ln = jnp.maximum(
+        jnp.minimum(ln, c_cap - ((cur8 - base8) * rpb + head)), 0)
     ln8 = jnp.where(ln > 0, (head + ln + rpb - 1) // rpb, 0)
-    for t_i, tier in enumerate(tiers):
-      lower = tiers[t_i - 1] if t_i else 0
+    if do_copy:
+      for t_i, tier in enumerate(tiers):
+        lower = tiers[t_i - 1] if t_i else 0
 
-      @pl.when((ln8 > lower) & (ln8 <= tier))
-      def _(lo8=lo8, tier=tier, cur8=cur8):
-        rows_ref[pl.ds(cur8, tier), :] = strip_ref[pl.ds(lo8, tier), :]
-    meta.append((cur8 * rpb + head, ln,
+        @pl.when((ln8 > lower) & (ln8 <= tier))
+        def _(lo8=lo8, tier=tier, cur8=cur8):
+          rows_ref[pl.ds(cur8, tier), :] = strip_ref[pl.ds(lo8, tier), :]
+    meta.append(((cur8 - base8) * rpb + head, ln,
                  desc_ref[0, 0, base + 4 * w + 2],
                  desc_ref[0, 0, base + 4 * w + 3]))
     cur8 = cur8 + ln8
@@ -234,15 +248,24 @@ def _permT(pm_bf16, x, contract_x: int):
   return out.astype(x.dtype)
 
 
-def _unpack_rows(rows_ref, c_cap: int, rpb: int, w_row: int):
+def _unpack_rows(rows_ref, c_cap: int, rpb: int, w_row: int, row0=None):
   """Packed (C/rpb, rpb*w_pad) assembly block -> (w_row, C) lane-major
   rows in PERMUTED slot order (see _slot_lane): one 2D transpose + rpb
   static sublane slices + one lane concat — measured FASTER than the
   unpacked layout's (C, W) transpose (0.43 vs 1.0 us/slab) because the
-  packed block is an 8x smaller read."""
+  packed block is an 8x smaller read.
+
+  ``row0``: dynamic sublane offset into a (1, R, lanes) shared-assembly
+  block (stream_share_asm) instead of the 2D scratch's row 0."""
   c8 = c_cap // rpb
   w_pad = rows_ref.shape[-1] // rpb
-  xt = jnp.transpose(rows_ref[0:c8, :])              # (rpb*w_pad, C/rpb)
+  if row0 is None:
+    blk = rows_ref[0:c8, :]
+  elif len(rows_ref.shape) == 3:     # (1, R, lanes) shared-asm in-block
+    blk = rows_ref[0, pl.ds(row0, c8), :]
+  else:                              # big 2D assembly scratch
+    blk = rows_ref[pl.ds(row0, c8), :]
+  xt = jnp.transpose(blk)                            # (rpb*w_pad, C/rpb)
   return jnp.concatenate(
       [xt[w_pad * k:w_pad * k + w_row, :] for k in range(rpb)], 1)
 
@@ -313,11 +336,15 @@ def _uv_rows(geo, scale: bool):
   return lu, lv
 
 
-def _alpha(geo, basis3, basis6, valid_col, config, c_cap: int):
+def _alpha(geo, basis3, basis6, config, c_cap: int):
   """(C, PIX) clamped/thresholded compositing alpha + raw alpha (+ the
-  antialias aux (tu, tv) when config.antialias).  ``valid_col`` is the
-  (C, 1) bool validity column (Mosaic cannot transpose i1 vectors, so
-  callers build both orientations from the slot map directly).
+  antialias aux (tu, tv) when config.antialias).
+
+  Invalid lanes need no explicit row mask here: callers zero them in
+  rows_t, so pa = 0 drives a_raw to ~1e-30 (quadratic: exp(log 1e-30);
+  antialias: 0 * pdf) — below alpha_threshold, masked by the threshold
+  test alone.  (A (C, 1) mask column would cost ~16x the lane-major
+  vreg ops — measured +23 ms/frame.)
 
   Quadratic form: one (6,C)x(6,PIX) matmul + one exp; log point_alpha is
   folded into the constant term (all-zero rows give alpha ~ 0).
@@ -347,7 +374,7 @@ def _alpha(geo, basis3, basis6, valid_col, config, c_cap: int):
     lq = jnp.concatenate([cxx, cxy, cyy, c_px, c_py, c_1], 0)  # (6, C)
     a_raw = jnp.exp(_mm2(lq, basis6, ((0,), (0,))))            # (C, PIX)
     aux = None
-  ok = (a_raw > config.alpha_threshold) & valid_col
+  ok = a_raw > config.alpha_threshold
   a = jnp.where(ok, jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
   return a, a_raw, aux
 
@@ -358,11 +385,16 @@ def _alpha(geo, basis3, basis6, valid_col, config, c_cap: int):
 
 
 def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
-                img_ref, cnt_ref, strip_ref, rows_ref, carry_ref,
-                *, config: RasterConfig, f: int, gw: int, tw: int,
+                img_ref, cnt_ref, *rest,
+                config: RasterConfig, f: int, gw: int, tw: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
                 w_max: int, rpb: int, depth_bits: int = 14,
-                ablate: str = ""):
+                ablate: str = "", with_asm: bool = False):
+  if with_asm:
+    asm_ref, strip_ref, rows_ref, carry_ref = rest
+  else:
+    asm_ref = None
+    strip_ref, rows_ref, carry_ref = rest
   g = pl.program_id(0)
   pix = config.tile_area
   dtype = rows_ref.dtype
@@ -385,7 +417,6 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
   cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
   slot_lane = _slot_lane(c_cap, rpb)
-  slot_col = jnp.transpose(slot_lane)    # (C, 1); i1 can't transpose
   _, _, basis3, basis6 = _pixel_rows(pix, ts, dtype)
 
   def tile_body(i, _):
@@ -402,7 +433,10 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
       def _compute(meta):
         cnt_ref[0, :] += 1.0
-        rows_t = _unpack_rows(rows_ref, c_cap, rpb, w_row)  # (W, C)
+        row0 = ((i * s_edges + s) * (c_cap // rpb) if with_asm
+                else None)
+        rows_t = _unpack_rows(rows_ref, c_cap, rpb, w_row,
+                              row0=row0)            # (W, C)
         if ablate == "skeleton":
           img_ref[i, :, :] = rows_t[0:f + 1, 0:pix] * 1e-9
           return
@@ -412,13 +446,11 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         # poison every contraction over the row axis)
         if meta:
           valid = _valid_mask(meta, slot_lane)
-          valid_col = _valid_mask(meta, slot_col)
         else:                                       # no_assemble ablation
           valid = jnp.ones((1, c_cap), jnp.bool_)
-          valid_col = jnp.ones((c_cap, 1), jnp.bool_)
         rows_t = jnp.where(valid, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
-        a, _, _ = _alpha(geo, basis3, basis6, valid_col, config, c_cap)
+        a, _, _ = _alpha(geo, basis3, basis6, config, c_cap)
 
         l = jnp.log1p(-a)                                   # (C, PIX)
         if ablate == "no_mask":
@@ -494,6 +526,17 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
       def _():
         if ablate == "no_assemble":
           meta = []
+        elif with_asm:
+          # assemble into the big per-group scratch at the slab's base:
+          # the whole group leaves as ONE static full-block output copy
+          # after the loops (16 dynamic partial writes to an out_ref
+          # measured +39 ms/frame); stale lanes are validity-masked by
+          # the same descriptor metadata in both kernels
+          c8 = c_cap // rpb
+          meta = _assemble(
+              desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
+              w_max=w_max, c_cap=c_cap, rpb=rpb,
+              base8=(i * s_edges + s) * c8)
         else:
           meta = _assemble(
               desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
@@ -506,6 +549,9 @@ def _fwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
     return 0
 
   jax.lax.fori_loop(0, gw, tile_body, 0)
+
+  if asm_ref is not None:
+    asm_ref[0, :, :] = rows_ref[0:asm_ref.shape[1], :]
 
 
 def _sb_with_band0(strip_blk, band0):
@@ -520,14 +566,18 @@ def _sb_with_band0(strip_blk, band0):
 
 def stream_forward(mapping: StreamMapping, config: RasterConfig,
                    ablate: str = "", with_counts: bool = False,
-                   band0=None):
+                   band0=None, with_asm: bool = False):
   """Forward rasterization over a stream mapping.
 
   Returns image_tiled (T, F+1, PIX); channel F is the alpha image.
   ``ablate`` ("no_mask" / "no_alpha") and ``with_counts`` are profiling
   instruments — see benchmarks/bench_stream.py.  ``band0`` (i32 scalar)
   offsets the group grid's band index — band-sharded rendering passes
-  each shard's first ABSOLUTE tile band (parallel/stream_sharded.py)."""
+  each shard's first ABSOLUTE tile band (parallel/stream_sharded.py).
+
+  ``with_asm``: also return the (G, gw*S*c_cap/rpb, 128) assembled slab
+  blocks for the backward to read (config.stream_share_asm): the window
+  copies and strip DMAs then run ONCE per frame instead of twice."""
   f = mapping.feature_size
   gw = mapping.group_width
   groups_x = mapping.tiles_wide // gw
@@ -544,7 +594,7 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
       _fwd_kernel, config=config, f=f, gw=gw, tw=mapping.tiles_wide,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
       s_cap=s_cap, w_max=mapping.w_max, rpb=rpb,
-      depth_bits=mapping.depth_bits, ablate=ablate)
+      depth_bits=mapping.depth_bits, ablate=ablate, with_asm=with_asm)
 
   def strip_spec(b, which):
     # sb is the FLATTENED (G*3,) strip-block table: 2D scalar-prefetch
@@ -553,43 +603,62 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
         (s_cap // rpb, width),
         lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
 
+  grid_in_specs = [
+      pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
+                   memory_space=pltpu.SMEM),
+      strip_spec(0, 0), strip_spec(0, 1),
+      strip_spec(1, 0), strip_spec(1, 1),
+      strip_spec(2, 0), strip_spec(2, 1),
+  ]
+  c8 = c_cap // rpb
+  asm_rows = gw * mapping.num_slabs * c8
+  out_specs = [
+      pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+      pl.BlockSpec((8, 128), lambda g, sb: (g, 0)),
+  ]
+  out_shape = [
+      jax.ShapeDtypeStruct((n_groups * gw, f + 1, pix), dtype),
+      jax.ShapeDtypeStruct((n_groups * 8, 128), jnp.float32),
+  ]
+  if with_asm:
+    out_specs.append(pl.BlockSpec((1, asm_rows, width),
+                                  lambda g, sb: (g, 0, 0)))
+    out_shape.append(
+        jax.ShapeDtypeStruct((n_groups, asm_rows, width), dtype))
+
+  # with_asm: the assembly scratch holds EVERY (tile, slab) block of the
+  # group at per-slab bases (+ largest-tier overrun slack) so the group
+  # leaves as one static full-block output copy
+  rows_scratch = ((asm_rows if with_asm else c_cap // rpb)
+                  + _fetch_tiers(rpb)[-1])
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
       grid=(n_groups,),
-      in_specs=[
-          pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
-                       memory_space=pltpu.SMEM),
-          strip_spec(0, 0), strip_spec(0, 1),
-          strip_spec(1, 0), strip_spec(1, 1),
-          strip_spec(2, 0), strip_spec(2, 1),
-      ],
-      out_specs=[
-          pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
-          pl.BlockSpec((8, 128), lambda g, sb: (g, 0)),
-      ],
+      in_specs=grid_in_specs,
+      out_specs=out_specs,
       scratch_shapes=[
           pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK) // rpb, width),
                      dtype),
-          pltpu.VMEM((c_cap // rpb + _fetch_tiers(rpb)[-1], width),
-                     dtype),
+          pltpu.VMEM((rows_scratch, width), dtype),
           pltpu.VMEM((1, pix), dtype),
       ],
   )
 
-  image_tiled, counts = pl.pallas_call(
+  outs = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=[
-          jax.ShapeDtypeStruct((n_groups * gw, f + 1, pix), dtype),
-          jax.ShapeDtypeStruct((n_groups * 8, 128), jnp.float32),
-      ],
+      out_shape=out_shape,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
   )(_sb_with_band0(mapping.strip_blk, band0), mapping.desc,
     mapping.table, mapping.table, mapping.table,
     mapping.table, mapping.table, mapping.table)
+  image_tiled, counts = outs[0], outs[1]
 
+  if with_asm:
+    return (image_tiled, counts, outs[2]) if with_counts else (
+        image_tiled, outs[2])
   if with_counts:
     return image_tiled, counts
   return image_tiled
@@ -600,33 +669,41 @@ def stream_forward(mapping: StreamMapping, config: RasterConfig,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
-                img_ref, gimg_ref,
-                gout_ref,
-                strip_ref, rows_ref, carry_ref, grows_ref,
-                *, config: RasterConfig, f: int, gw: int, tw: int, th: int,
+def _bwd_kernel(sb_ref, desc_ref, *rest,
+                config: RasterConfig, f: int, gw: int, tw: int, th: int,
                 groups_x: int, s_edges: int, c_cap: int, s_cap: int,
                 run_cap: int, slabw: int, w_max: int, rpb: int,
-                depth_bits: int = 14):
+                depth_bits: int = 14, ablate: str = "",
+                use_asm: bool = False):
+  if use_asm:
+    (asm_ref, img_ref, gimg_ref, gout_ref,
+     carry_ref, grows_ref) = rest
+    strip_ref = rows_ref = None
+  else:
+    (s0a, s0b, s1a, s1b, s2a, s2b, img_ref, gimg_ref, gout_ref,
+     strip_ref, rows_ref, carry_ref, grows_ref) = rest
+    asm_ref = None
   g = pl.program_id(0)
   pix = config.tile_area
-  dtype = rows_ref.dtype
+  dtype = carry_ref.dtype
   w_row = 7 + f + 1
   lcut = _log_cut(config)
   heur = config.compute_point_heuristic
   with_vis = heur or config.compute_visibility
   ts = config.tile_size
+  c8 = c_cap // rpb
 
-  s8 = s_cap // rpb
-  stride8 = (2 * s_cap + STRIP_SLACK) // rpb
-  for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b), (s2a, s2b))):
-    strip_ref[b * stride8:b * stride8 + s8, :] = blk_a[...]
-    strip_ref[b * stride8 + s8:b * stride8 + 2 * s8, :] = blk_b[...]
+  if not use_asm:
+    s8 = s_cap // rpb
+    stride8 = (2 * s_cap + STRIP_SLACK) // rpb
+    for b, (blk_a, blk_b) in enumerate(((s0a, s0b), (s1a, s1b),
+                                        (s2a, s2b))):
+      strip_ref[b * stride8:b * stride8 + s8, :] = blk_a[...]
+      strip_ref[b * stride8 + s8:b * stride8 + 2 * s8, :] = blk_b[...]
 
   gout_ref[...] = jnp.zeros(gout_ref.shape, gout_ref.dtype)
 
   slot_lane = _slot_lane(c_cap, rpb)
-  slot_col = jnp.transpose(slot_lane)    # (C, 1); i1 can't transpose
   pm = _slot_perm(slot_lane, c_cap)      # lane c' -> fetch-slot rows
   pxl, pyl, basis3, basis6 = _pixel_rows(pix, ts, dtype)
   ones_pix = jnp.ones((1, pix), dtype)
@@ -646,21 +723,35 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
           jnp.logical_not(first), jnp.max(carry_ref[0:1, :]) <= lcut)
 
       def _compute(meta):
-        rows_t = _unpack_rows(rows_ref, c_cap, rpb, w_row)  # (W, C)
+        if use_asm:                                         # (W, C)
+          rows_t = _unpack_rows(asm_ref, c_cap, rpb, w_row,
+                                row0=(i * s_edges + s) * c8)
+        else:
+          rows_t = _unpack_rows(rows_ref, c_cap, rpb, w_row)
+        if ablate == "skeleton":
+          # assemble + copy-back only: grows depends on rows_t so the
+          # window assembly isn't dead code
+          grows_ref[0:c_cap, :] = jnp.broadcast_to(
+              (jnp.sum(rows_t) * 1e-20).reshape(1, 1), (c_cap, slabw))
+          carry_ref[...] = jnp.zeros(carry_ref.shape, dtype)
+          _copy_back(meta)
+          return
         valid = _valid_mask(meta, slot_lane)
-        valid_col = _valid_mask(meta, slot_col)
         rows_t = jnp.where(valid, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
         mlx, mly, ax, ay, sx, sy, pa = geo
-        a, a_raw, aa_aux = _alpha(geo, basis3, basis6, valid_col, config,
-                                  c_cap)
+        a, a_raw, aa_aux = _alpha(geo, basis3, basis6, config, c_cap)
 
         l = jnp.log1p(-a)
-        mask_lt = _rank_mask(rows_t, valid, slot_lane, depth_bits)
         lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
                           carry_ref[0:1, :])
-        lt = _mask_mm(mask_lt, l, ((0,), (0,)),
-                      passes=config.stream_passes) + lt_in
+        if ablate == "no_mask":
+          mask_lt = None
+          lt = l * 0.9 + lt_in
+        else:
+          mask_lt = _rank_mask(rows_t, valid, slot_lane, depth_bits)
+          lt = _mask_mm(mask_lt, l, ((0,), (0,)),
+                        passes=config.stream_passes) + lt_in
         t = jnp.exp(lt)
         live = ((lt > lcut) & (a > 0.0)).astype(dtype)
         w = a * t * live
@@ -672,10 +763,25 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
 
         # remaining-feature scalar: s_i = total - (prev slabs + inclusive
         # depth prefix of wgf), all in fetch layout
-        cum = _mask_mm(mask_lt, wgf, ((0,), (0,)), passes=1) + wgf
+        if ablate == "no_mask":
+          cum = wgf * 1.1
+        else:
+          cum = _mask_mm(mask_lt, wgf, ((0,), (0,)), passes=1) + wgf
         s_prev = jnp.where(first, jnp.zeros((1, pix), dtype),
                            carry_ref[1:2, :])
         s_i = s_total - (cum + s_prev)
+        if ablate == "no_grad":
+          # everything up to alpha_grad, no per-point gradient chains
+          ag = (t * gf - s_i * jnp.exp(-l)) * live
+          grows_ref[0:c_cap, :] = jnp.broadcast_to(
+              (jnp.sum(ag) * 1e-20).reshape(1, 1), (c_cap, slabw))
+          _copy_back(meta)
+          lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
+          carry_ref[0:1, :] = jnp.maximum(
+              lt_end, jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0,
+                              keepdims=True))
+          carry_ref[1:2, :] = s_prev + jnp.sum(wgf, 0, keepdims=True)
+          return
         # 1/(1-a) = exp(-log1p(-a)): reuses l, cheaper than a VPU divide
         alpha_grad = (t * gf - s_i * jnp.exp(-l)) * live    # (C, PIX)
 
@@ -777,6 +883,20 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
         grows_ref[0:c_cap, :] = _permT(
             pm, jnp.concatenate(parts, -1), 0)              # (C, slabw)
 
+        if ablate == "no_copyback":
+          v = jnp.sum(grows_ref[0:c_cap, :]) * 1e-20
+          gout_ref[0, 0:8, :] = jnp.broadcast_to(
+              v.reshape(1, 1), (8, gout_ref.shape[-1]))
+        else:
+          _copy_back(meta)
+
+        lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
+        carry_ref[0:1, :] = jnp.maximum(
+            lt_end,
+            jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
+        carry_ref[1:2, :] = s_prev + jnp.sum(wgf, 0, keepdims=True)
+
+      def _copy_back(meta):
         # copy-back: fetch-order grad rows -> RUN_CAP-strided band buffers.
         # Value-level RMW (a raw tiered copy's overrun tail would clobber
         # the zero-init of neighbouring homes' never-written cells); the
@@ -813,18 +933,15 @@ def _bwd_kernel(sb_ref, desc_ref, s0a, s0b, s1a, s1b, s2a, s2b,
               gout_ref[0, pl.ds(dst, tier), :] = (
                   jnp.where(keep, old, placed))
 
-        lt_end = lt_in + jnp.sum(l, 0, keepdims=True)
-        carry_ref[0:1, :] = jnp.maximum(
-            lt_end,
-            jnp.max(jnp.where(lt <= lcut, lt, _NEG_BIG), 0, keepdims=True))
-        carry_ref[1:2, :] = s_prev + jnp.sum(wgf, 0, keepdims=True)
-
       @pl.when(jnp.logical_and(
           jnp.logical_not(saturated), jnp.logical_or(slab_used, first)))
       def _():
+        # with use_asm the forward's assembled blocks are read back and
+        # only the (cheap, scalar) window metadata is recomputed — the
+        # tiered copies and strip DMAs run once per frame, in the forward
         meta = _assemble(
             desc_ref, strip_ref, rows_ref, i, s, s_edges=s_edges,
-            w_max=w_max, c_cap=c_cap, rpb=rpb)
+            w_max=w_max, c_cap=c_cap, rpb=rpb, do_copy=not use_asm)
         _compute(meta)
 
       return 0
@@ -1013,7 +1130,8 @@ def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
 
 
 def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
-                    config: RasterConfig, run_cap: int, band0=None):
+                    config: RasterConfig, run_cap: int, band0=None,
+                    ablate: str = "", asm=None):
   """Backward pass: RUN_CAP-strided per-class gradient slabs.
 
   Returns the per-GROUP slab blocks
@@ -1021,7 +1139,12 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
   slabw = 7 + F [+ 2 heuristics] and slab (b, k) row (j*run_cap + r)
   holds tile (gx+j+1-k... ) contributions for home position j (= home
   gx-1+j), in-run offset r.  Use stream_reduce to canonicalise and sum;
-  cells of out-of-image tiles are zero or garbage — masked there."""
+  cells of out-of-image tiles are zero or garbage — masked there.
+
+  ``asm``: the forward's shared assembled slab blocks
+  (stream_forward(with_asm=True)); when given, the kernel reads them
+  instead of re-running the strip DMAs + window copies (the measured
+  ~32 ms/frame assembly cost then runs once, in the forward)."""
   f = mapping.feature_size
   gw = mapping.group_width
   tw = mapping.tiles_wide
@@ -1036,38 +1159,60 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
   desc_w = mapping.desc.shape[-1]
   slabw = slab_width(config, f)
 
+  use_asm = asm is not None
   kernel = functools.partial(
       _bwd_kernel, config=config, f=f, gw=gw, tw=tw, th=mapping.tiles_high,
       groups_x=groups_x, s_edges=mapping.num_slabs, c_cap=c_cap,
       s_cap=s_cap, run_cap=run_cap, slabw=slabw, w_max=mapping.w_max,
-      rpb=rpb, depth_bits=mapping.depth_bits)
+      rpb=rpb, depth_bits=mapping.depth_bits, ablate=ablate,
+      use_asm=use_asm)
 
   def strip_spec(b, which):
     return pl.BlockSpec(
         (s_cap // rpb, width),
         lambda g, sb, b=b, w=which: (sb[g * 3 + b] + w, 0))
 
+  img_specs = [
+      pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+      pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
+  ]
+  if use_asm:
+    asm_rows = asm.shape[1]
+    in_specs = [
+        pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, asm_rows, width), lambda g, sb: (g, 0, 0)),
+    ] + img_specs
+    inputs = (mapping.desc, asm, image_tiled, g_image_tiled)
+    scratch = []
+  else:
+    in_specs = [
+        pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        strip_spec(0, 0), strip_spec(0, 1),
+        strip_spec(1, 0), strip_spec(1, 1),
+        strip_spec(2, 0), strip_spec(2, 1),
+    ] + img_specs
+    inputs = (mapping.desc,
+              mapping.table, mapping.table, mapping.table,
+              mapping.table, mapping.table, mapping.table,
+              image_tiled, g_image_tiled)
+    scratch = [
+        pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK) // rpb, width),
+                   dtype),
+        pltpu.VMEM((c_cap // rpb + _fetch_tiers(rpb)[-1], width),
+                   dtype),
+    ]
+
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
       grid=(n_groups,),
-      in_specs=[
-          pl.BlockSpec((1, 1, desc_w), lambda g, sb: (g, 0, 0),
-                       memory_space=pltpu.SMEM),
-          strip_spec(0, 0), strip_spec(0, 1),
-          strip_spec(1, 0), strip_spec(1, 1),
-          strip_spec(2, 0), strip_spec(2, 1),
-          pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
-          pl.BlockSpec((gw, f + 1, pix), lambda g, sb: (g, 0, 0)),
-      ],
+      in_specs=in_specs,
       out_specs=[
           pl.BlockSpec((1, (gw + 2) * run_cap + _TIERS[-1], 9 * slabw),
                        lambda g, sb: (g, 0, 0)),
       ],
-      scratch_shapes=[
-          pltpu.VMEM((3 * (2 * s_cap + STRIP_SLACK) // rpb, width),
-                     dtype),
-          pltpu.VMEM((c_cap // rpb + _fetch_tiers(rpb)[-1], width),
-                     dtype),
+      scratch_shapes=scratch + [
           pltpu.VMEM((2, pix), dtype),
           pltpu.VMEM((c_cap + _TIERS[-1], slabw), dtype),
       ],
@@ -1088,9 +1233,6 @@ def stream_backward(mapping: StreamMapping, image_tiled, g_image_tiled,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(_sb_with_band0(mapping.strip_blk, band0), mapping.desc,
-    mapping.table, mapping.table, mapping.table,
-    mapping.table, mapping.table, mapping.table,
-    image_tiled, g_image_tiled)
+  )(_sb_with_band0(mapping.strip_blk, band0), *inputs)
 
   return gout
