@@ -463,6 +463,41 @@ def test_calibrate_wide_scene_no_overflow():
       cal, [int(x) for x in mm.overflow])
 
 
+def test_stream_share_asm_guard():
+  """share_asm=False must produce the same gradients as the default
+  shared-assembly backward, and asm_feasible must reject mappings whose
+  per-group assembled blocks exceed the VMEM budget (the guard then
+  routes exactly to the share_asm=False code path)."""
+  import dataclasses
+
+  from tpu_splatting.rasterizer.stream_kernels import asm_feasible
+
+  config = RasterConfig(tile_size=8, chunk_size=8)
+  image_size, n = (32, 24), 80
+  packed, depths, feats = make_scene(6, n, image_size)
+  mm = stream_map(packed, depths, feats, image_size, config,
+                  group_width=2, **TIGHT)
+  assert int(mm.num_overflow) == 0
+  assert asm_feasible(mm)
+
+  def grads(cfg):
+    def loss(p, f_):
+      img, w = stream_rasterize_with_mapping(p, f_, mm, image_size, cfg)
+      return jnp.sum(img * img) + jnp.sum(w)
+    return jax.grad(loss, argnums=(0, 1))(packed, feats)
+
+  g_shared = grads(config)
+  g_plain = grads(dataclasses.replace(config, stream_share_asm=False))
+  for a, b in zip(g_shared, g_plain):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-6, rtol=1e-6)
+
+  # a many-slab mapping's asm blocks exceed the VMEM budget: the guard
+  # must flip (shape-only check — no kernel execution involved)
+  big = dataclasses.replace(mm, num_slabs=512)
+  assert not asm_feasible(big)
+
+
 def test_stream_banded_backward_matches():
   """The band-chunked backward (scan over band chunks with halo merge,
   for scenes whose gradient-slab buffer exceeds the HBM budget) must

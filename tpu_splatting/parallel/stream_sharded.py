@@ -107,7 +107,8 @@ def band_sharded_grad(mapping: StreamMapping, g_image_tiled,
     band0 = d * th_local
     lm = _local_mapping(mapping, desc, strip_blk, table, run_starts,
                         overflow, th_local)
-    if config.stream_share_asm:
+    from ..rasterizer.stream_kernels import asm_feasible
+    if config.stream_share_asm and asm_feasible(lm):
       img, asm = stream_forward(lm, config, band0=band0, with_asm=True)
     else:
       img, asm = stream_forward(lm, config, band0=band0), None

@@ -323,7 +323,8 @@ def _stream_function(config: RasterConfig, run_cap: int):
     return stream_forward(mapping, config)
 
   def fwd(gaussians2d, features, probe, mapping):
-    if config.stream_share_asm:
+    from .stream_kernels import asm_feasible
+    if config.stream_share_asm and asm_feasible(mapping):
       image_tiled, asm = stream_forward(mapping, config, with_asm=True)
     else:
       image_tiled = stream_forward(mapping, config)

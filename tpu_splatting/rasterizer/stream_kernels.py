@@ -70,6 +70,21 @@ def slab_width(config: RasterConfig, f: int) -> int:
   return 7 + f + (1 if with_vis else 0) + (2 if heur else 0)
 
 _NEG_BIG = -3.0e38
+
+# VMEM budget for the shared-assembly scratch/blocks (one group's every
+# (tile, slab) block lives in VMEM at once on both ends of the share)
+_ASM_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def asm_feasible(mapping: "StreamMapping") -> bool:
+  """Whether stream_share_asm fits this mapping's shapes: scenes with
+  many depth slabs (large calibrated num_slabs) would need a
+  gw*S*c_cap/rpb-row VMEM block per group on both the forward (assembly
+  scratch) and backward (input block) — beyond the budget the backward
+  re-assembles from strips instead."""
+  rows = (mapping.group_width * mapping.num_slabs
+          * (mapping.slab_cap // mapping.rows_per_block))
+  return rows * mapping.table.shape[1] * 4 <= _ASM_VMEM_BUDGET
 # Copy-back size tiers in ROWS (last == STRIP_SLACK): each gradient
 # copy-back moves the smallest tier >= its dynamic length, so
 # intermediate tiers trade a few predicated branches for less padding
