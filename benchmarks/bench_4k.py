@@ -21,12 +21,17 @@ N = 2_000_000
 
 
 def main():
+  import dataclasses
+  import os
+
   import jax
   import jax.numpy as jnp
-  jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+  jax.config.update(
+      "jax_compilation_cache_dir",
+      os.path.join(os.path.dirname(os.path.dirname(
+          os.path.abspath(__file__))), ".jaxcache"))
 
-  from bench import uniform_scene
-  from tpu_splatting import RasterConfig
+  from bench import _cal_cached, _trainer_config, uniform_scene
   from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
   from tpu_splatting.rasterizer.stream_function import (
       entile, probe_width, stream_rasterize_with_mapping, tile_mask)
@@ -38,12 +43,15 @@ def main():
   depth = jnp.asarray(depth)
   feats = jnp.asarray(feats)
 
-  config = RasterConfig(compute_point_heuristic=True,
-                        compute_visibility=True)
-  gw = 2
-  cal = calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
-                         group_width=gw)
+  gw = int(os.environ.get("TPU_SPLAT_GW", "8"))
+  config = _trainer_config(gw)
+  cal = _cal_cached(
+      f"4k_gw{gw}",
+      lambda: calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
+                               group_width=gw))
   print(f"# calibration: {cal}", file=sys.stderr)
+  config = dataclasses.replace(config,
+                               big_tile_window=cal["big_tile_window"])
   caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
               slab_cap=cal["slab_cap"], group_width=gw,
               w_max=cal["w_max"], run_cap=cal["run_cap"],

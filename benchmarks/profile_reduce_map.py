@@ -8,6 +8,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/profile_reduce_m
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -16,9 +17,12 @@ import numpy as np
 def main():
   import jax
   import jax.numpy as jnp
-  jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+  jax.config.update(
+      "jax_compilation_cache_dir",
+      os.path.join(os.path.dirname(os.path.dirname(
+          os.path.abspath(__file__))), ".jaxcache"))
 
-  from bench import IMAGE_SIZE, N, uniform_scene
+  from bench import IMAGE_SIZE, N, _cal_cached, _trainer_config, uniform_scene
   from tpu_splatting import RasterConfig
   from tpu_splatting.rasterizer.stream import calibrate_stream, stream_map
   from tpu_splatting.rasterizer.stream_kernels import (
@@ -31,11 +35,12 @@ def main():
   depth = jnp.asarray(depth)
   feats = jnp.asarray(feats)
 
-  config = RasterConfig(compute_point_heuristic=True,
-                        compute_visibility=True)
-  gw = 2
-  cal = calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
-                         group_width=gw)
+  gw = int(os.environ.get("TPU_SPLAT_GW", "8"))
+  config = _trainer_config(gw)
+  cal = _cal_cached(
+      f"uniform_gw{gw}",
+      lambda: calibrate_stream(packed, depth, feats, IMAGE_SIZE, config,
+                               group_width=gw))
   caps = dict(num_slabs=cal["num_slabs"], strip_cap=cal["strip_cap"],
               slab_cap=cal["slab_cap"], group_width=gw,
               w_max=cal["w_max"], run_cap=cal["run_cap"],

@@ -859,8 +859,8 @@ def calibrate_stream(gaussians, depth, features, image_size,
     # only surface with everything bounded at once.
     over = None
     for _ in range(6):
-      m3, lens3, _ = measure(config, num_slabs, strip_cap, slab_cap,
-                             run_cap, wide_cap, dup_cap)
+      m3, lens3, qrows3 = measure(config, num_slabs, strip_cap, slab_cap,
+                                  run_cap, wide_cap, dup_cap)
       over = np.asarray(jax.device_get(m3.overflow))
       w_seen = int((lens3 > 0).sum(3).max())
       if over.sum() == 0 and w_seen <= w_max:
@@ -872,9 +872,13 @@ def calibrate_stream(gaussians, depth, features, image_size,
         strip_cap *= 2
       if over[2] > 0:                      # slab: finer depth cells
         if num_slabs + 4 > MAX_SLABS and slab_cap < 2048:
-          # finer cells exhausted: the quantization padding itself must
-          # not fit — widen the slab (rank-key slot limit 2048)
-          slab_cap = min(2048, slab_cap + 128)
+          # finer cells exhausted: jump straight to the measured
+          # quantized per-slab row maximum of the CURRENT plan (the
+          # former +128 stepping exhausted the retry budget 155 rows
+          # short on the r4 heavy scene); rank-key slot limit 2048
+          need = int(qrows3.max())
+          slab_cap = min(2048,
+                         max(slab_cap + 128, -(-need // 128) * 128))
         num_slabs = min(MAX_SLABS, num_slabs + 4)
       if over[3] > 0:                      # run
         run_cap *= 2
