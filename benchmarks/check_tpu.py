@@ -79,6 +79,31 @@ def run_on(device, packed, depth, feats, image_size, config, caps):
             for k, v in out.items()}
 
 
+def make_deep_scene(n, image_size, seed=3):
+  """A scene with one very deep tile (~900 rows in a single depth cell):
+  at slab_cap 1024 the merged window exceeds the kernels' largest tiered
+  copy (STRIP_SLACK) and must CHUNK into multiple descriptors — validates
+  the chunked assembly + copy-back on the real chip."""
+  rng = np.random.default_rng(seed)
+  w, h = image_size
+  packed = np.zeros((n, 7), np.float32)
+  packed[:, 0] = rng.uniform(0, w, n)
+  packed[:, 1] = rng.uniform(0, h, n)
+  n_deep = 900
+  packed[:n_deep, 0] = rng.uniform(18.0, 30.0, n_deep)   # tile (1, 1), ts 16
+  packed[:n_deep, 1] = rng.uniform(18.0, 30.0, n_deep)
+  th = rng.uniform(0, np.pi, n)
+  packed[:, 2] = np.cos(th)
+  packed[:, 3] = np.sin(th)
+  packed[:, 4:6] = (rng.random((n, 2)) + 0.3) * 1.2
+  packed[:, 6] = rng.uniform(0.1, 0.4, n)
+  assert n * 4 < (1 << 16)
+  depth = ((rng.permutation(n).astype(np.float32) + 0.5) / n).astype(
+      np.float32)
+  feats = rng.random((n, 3)).astype(np.float32)
+  return packed, depth, feats
+
+
 def compare(name, a, b, rtol, atol):
   err = np.abs(a - b)
   scale = np.maximum(np.abs(b), atol / max(rtol, 1e-30))
@@ -90,29 +115,19 @@ def compare(name, a, b, rtol, atol):
   return ok
 
 
-def main():
+def check(tag, packed, depth, feats, image_size, config, caps,
+          n_zero_grad=0):
   import jax
-  jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-
-  from tpu_splatting import RasterConfig
-
-  image_size = (256, 192)
-  n = 12_000
-  passes = int(os.environ.get("TPU_SPLAT_PASSES", "2"))
+  passes = config.stream_passes
   gw = int(os.environ.get("TPU_SPLAT_GW", "2"))
-  config = RasterConfig(compute_point_heuristic=True,
-                        compute_visibility=True, stream_passes=passes)
-  caps = dict(num_slabs=6, strip_cap=2048, slab_cap=512, w_max=40,
-              run_cap=512, wide_cap=256, dup_cap=16384)
-  packed, depth, feats = make_scene(n, image_size)
-
+  n = packed.shape[0]
   tpu = [d for d in jax.devices() if d.platform != "cpu"]
   cpu = jax.devices("cpu")
   assert tpu, "no TPU device — run under the axon platform"
 
   # the interpret-mode oracle takes minutes; cache it on disk keyed by the
   # scene/config so TPU-side iteration after a kernel change is seconds
-  key = (f"n{n}_w{image_size[0]}x{image_size[1]}_p{passes}_gw{gw}_"
+  key = (f"{tag}_n{n}_w{image_size[0]}x{image_size[1]}_p{passes}_gw{gw}_"
          + "_".join(f"{k}{v}" for k, v in sorted(caps.items())))
   cache = f"/tmp/check_tpu_ref_{key}.npz"
   if os.path.exists(cache) and not os.environ.get("TPU_SPLAT_NOCACHE"):
@@ -120,30 +135,58 @@ def main():
     with np.load(cache) as z:
       ref = {k: (int(z[k]) if k == "overflow" else z[k]) for k in z.files}
   else:
-    print("# running CPU oracle (interpret mode)...", file=sys.stderr)
+    print(f"# running CPU oracle for {tag} (interpret mode)...",
+          file=sys.stderr)
     ref = run_on(cpu[0], packed, depth, feats, image_size, config, caps)
     np.savez(cache, **ref)
-  print("# running TPU...", file=sys.stderr)
+  print(f"# running {tag} on TPU...", file=sys.stderr)
   got = run_on(tpu[0], packed, depth, feats, image_size, config, caps)
 
-  print(f"overflow cpu={ref['overflow']} tpu={got['overflow']}")
+  print(f"[{tag}] overflow cpu={ref['overflow']} tpu={got['overflow']}")
   assert ref["overflow"] == 0, "scene overflows its capacities — invalid"
 
   ok = True
-  ok &= compare("loss", got["loss"], ref["loss"], 5e-3, 1e-3)
-  ok &= compare("image", got["image"], ref["image"], 2e-2, 2e-3)
-  ok &= compare("weight", got["weight"], ref["weight"], 2e-2, 2e-3)
-  ok &= compare("g_points", got["g_points"], ref["g_points"], 5e-2,
+  ok &= compare(f"{tag} loss", got["loss"], ref["loss"], 5e-3, 1e-3)
+  ok &= compare(f"{tag} image", got["image"], ref["image"], 2e-2, 2e-3)
+  ok &= compare(f"{tag} weight", got["weight"], ref["weight"], 2e-2, 2e-3)
+  ok &= compare(f"{tag} g_points", got["g_points"], ref["g_points"], 5e-2,
                 2e-2 * np.abs(ref["g_points"]).max())
-  ok &= compare("g_feats", got["g_feats"], ref["g_feats"], 5e-2,
+  ok &= compare(f"{tag} g_feats", got["g_feats"], ref["g_feats"], 5e-2,
                 2e-2 * np.abs(ref["g_feats"]).max())
-  ok &= compare("g_probe (vis/heur)", got["g_probe"], ref["g_probe"], 5e-2,
-                2e-2 * np.abs(ref["g_probe"]).max())
+  ok &= compare(f"{tag} g_probe (vis/heur)", got["g_probe"],
+                ref["g_probe"], 5e-2, 2e-2 * np.abs(ref["g_probe"]).max())
 
-  culled = np.abs(got["g_points"][:128]).max()
-  print(f"{'PASS' if culled == 0 else 'FAIL'} culled rows zero-grad "
-        f"(max={culled:.3e})")
-  ok &= culled == 0
+  if n_zero_grad:
+    culled = np.abs(got["g_points"][:n_zero_grad]).max()
+    print(f"{'PASS' if culled == 0 else 'FAIL'} culled rows zero-grad "
+          f"(max={culled:.3e})")
+    ok &= culled == 0
+  return ok
+
+
+def main():
+  import jax
+  jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+  from tpu_splatting import RasterConfig
+
+  passes = int(os.environ.get("TPU_SPLAT_PASSES", "2"))
+  config = RasterConfig(compute_point_heuristic=True,
+                        compute_visibility=True, stream_passes=passes)
+
+  image_size = (256, 192)
+  caps = dict(num_slabs=6, strip_cap=2048, slab_cap=512, w_max=40,
+              run_cap=512, wide_cap=256, dup_cap=16384)
+  packed, depth, feats = make_scene(12_000, image_size)
+  ok = check("main", packed, depth, feats, image_size, config, caps,
+             n_zero_grad=128)
+
+  # deep-tile scene: chunked window descriptors (window > STRIP_SLACK)
+  deep_size = (256, 48)     # tw = 16: divisible by every group width
+  deep_caps = dict(num_slabs=1, strip_cap=1024, slab_cap=1280, w_max=16,
+                   run_cap=1024, wide_cap=0, dup_cap=0)
+  dp, dd, df = make_deep_scene(3_000, deep_size)
+  ok &= check("deep", dp, dd, df, deep_size, config, deep_caps)
 
   print("ALL PASS" if ok else "FAILURES — see above")
   sys.exit(0 if ok else 1)

@@ -497,6 +497,12 @@ def test_stream_share_asm_guard():
   big = dataclasses.replace(mm, num_slabs=512)
   assert not asm_feasible(big)
 
+  # per-group blocks within VMEM but the HBM residual (one block per
+  # group) over budget: many-group scenes must also be rejected
+  assert not asm_feasible(mm, dataclasses.replace(
+      config, stream_asm_budget_mb=0))
+  assert asm_feasible(mm, config)
+
 
 def test_stream_banded_backward_matches():
   """The band-chunked backward (scan over band chunks with halo merge,
@@ -525,3 +531,71 @@ def test_stream_banded_backward_matches():
   for a, b in zip(g_ref, g_banded):
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_stream_window_chunking_deep_tile():
+  """Merged windows longer than the kernels' largest tiered copy
+  (STRIP_SLACK rows) must CHUNK into multiple <= WINDOW_CHUNK-row
+  descriptors, and calibration mode (build_table=False) must count
+  EXACTLY what a production build counts — the r4 heavy-scene failure
+  was a build-only clamp here that calibration could not observe.  The
+  reference handles arbitrary-depth tiles natively
+  (taichi_splatting/mapper/tile_mapper.py:114-146)."""
+  from tpu_splatting.rasterizer.stream import STRIP_SLACK
+
+  config = RasterConfig(tile_size=8, chunk_size=8)
+  image_size = (16, 8)
+  n = 700                       # one ~700-row home run, single depth cell
+  rng = np.random.default_rng(5)
+  packed = np.zeros((n, 7), np.float32)
+  packed[:, 0] = rng.uniform(1.5, 6.5, n)          # all inside tile 0
+  packed[:, 1] = rng.uniform(1.5, 6.5, n)
+  theta = rng.uniform(0, np.pi, n)
+  packed[:, 2] = np.cos(theta)
+  packed[:, 3] = np.sin(theta)
+  packed[:, 4:6] = rng.uniform(0.3, 0.6, (n, 2))   # tiny: reach class C
+  packed[:, 6] = rng.uniform(0.2, 0.5, n)
+  depths = (rng.permutation(n).astype(np.float32) + 0.5) / n
+  feats = rng.random((n, 3)).astype(np.float32)
+  packed, depths, feats = (jnp.asarray(packed), jnp.asarray(depths),
+                           jnp.asarray(feats))
+
+  caps = dict(num_slabs=1, strip_cap=512, slab_cap=768, w_max=8,
+              run_cap=1024, group_width=2)
+  mm = stream_map(packed, depths, feats, image_size, config, **caps)
+  mc = stream_map(packed, depths, feats, image_size, config,
+                  build_table=False, **caps)
+  # identical overflow accounting in both modes, and nothing dropped
+  np.testing.assert_array_equal(np.asarray(mm.overflow),
+                                np.asarray(mc.overflow))
+  assert int(mm.num_overflow) == 0
+
+  # chunking actually engaged: some descriptor is a full WINDOW_CHUNK
+  desc = np.asarray(mm.desc).reshape(mm.num_groups, 2, 1, 8, 4)
+  assert int(desc[..., 1].max()) == STRIP_SLACK - mm.rows_per_block
+
+  # chunked assembly composites and differentiates exactly like the
+  # sorted pipeline (depth16 keys distinct by construction)
+  sm = map_to_tiles(packed, depths, image_size, config,
+                    max_overlaps=8192, features=feats)
+  assert int(sm.num_overflow) == 0
+  tgt = jnp.asarray(
+      np.random.default_rng(0).random((8, 16, 3)).astype(np.float32))
+
+  def loss_sorted(p, f):
+    out = rasterize_with_tiles(p, f, sm, image_size, config)
+    return jnp.sum((out.image - tgt) ** 2)
+
+  def loss_stream(p, f):
+    img, _ = stream_rasterize_with_mapping(p, f, mm, image_size, config)
+    return jnp.sum((img - tgt) ** 2)
+
+  ls, (gp_s, gf_s) = jax.value_and_grad(loss_sorted, argnums=(0, 1))(
+      packed, feats)
+  lt, (gp_t, gf_t) = jax.value_and_grad(loss_stream, argnums=(0, 1))(
+      packed, feats)
+  np.testing.assert_allclose(float(lt), float(ls), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(gp_t), np.asarray(gp_s),
+                             atol=1e-4, rtol=1e-4)
+  np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_s),
+                             atol=1e-4, rtol=1e-4)

@@ -121,6 +121,13 @@ class RasterConfig:
   # with many depth slabs (large num_slabs) may prefer re-assembly.
   stream_share_asm: bool = True
 
+  # HBM budget (MB) for the shared-assembly residual itself (one
+  # (gw*S*slab_cap/rpb, 128) block per GROUP lives between forward and
+  # backward).  Group count scales with resolution — at 4K (~6k groups)
+  # the residual can reach several GB; beyond the budget asm_feasible
+  # rejects sharing and the backward re-assembles from strips.
+  stream_asm_budget_mb: int = 2048
+
   # HBM budget (MB) for the backward's per-group gradient-slab blocks.
   # Scenes with very long home runs (run_cap in the thousands) would need
   # a gout buffer far beyond HBM; when the full buffer exceeds this

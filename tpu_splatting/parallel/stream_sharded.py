@@ -108,7 +108,7 @@ def band_sharded_grad(mapping: StreamMapping, g_image_tiled,
     lm = _local_mapping(mapping, desc, strip_blk, table, run_starts,
                         overflow, th_local)
     from ..rasterizer.stream_kernels import asm_feasible
-    if config.stream_share_asm and asm_feasible(lm):
+    if config.stream_share_asm and asm_feasible(lm, config):
       img, asm = stream_forward(lm, config, band0=band0, with_asm=True)
     else:
       img, asm = stream_forward(lm, config, band0=band0), None

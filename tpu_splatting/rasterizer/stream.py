@@ -75,7 +75,8 @@ class StreamMapping:
     depth_bits of the sort key, BY VALUE — exact in f32), zeros...].
     Narrow (N, ~11) arrays pad their lanes 128/11x under the TPU's
     (8, 128) tiling — packing 8 rows per sublane row cuts the
-    strip-fetch HBM traffic ~8x (the kernels' dominant memory cost);
+    strip-fetch HBM traffic ~3.6x at rpb=4 (the kernels' dominant
+    memory cost — see rows_per_block_for for why rpb caps below 8);
     window copies quantize to RPB-row granularity and per-window validity
     masks handle the head/tail pad rows (exact compositing no-ops).
   pid_order: (N_pad,) i32 — the pid of each sorted table row (the sort's
@@ -126,7 +127,7 @@ class StreamMapping:
   run_cap: int
   dup_cap: int = 0
   depth_bits: int = 14
-  rows_per_block: int = 8
+  rows_per_block: int = 4   # rows_per_block_for caps at 4 (w_pad floor 32)
 
   @property
   def num_groups(self) -> int:
@@ -588,19 +589,55 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   bk_of = jnp.broadcast_to(
       jnp.asarray(bks, jnp.int32)[None, None, None, :], w_len_m.shape)
 
-  # run_cap clamp (post-merge; overflow-counted) + the kernels' largest
-  # tiered-copy size (windows beyond it would be silently skipped);
-  # calibration passes (build_table=False) keep lengths unclamped so the
-  # measured row statistics are exact
+  # run_cap clamp (post-merge; overflow-counted)
   run_hi = ((jnp.asarray(e_k, jnp.int32)[None, None, None, :]
              + i_t[None, :, None, None] + 1) * run_cap)
   len_run = jnp.clip(run_hi - w_dst, 0, None)
-  # largest tiered copy = STRIP_SLACK rows; quantized copies start up to
-  # rpb-1 rows before the window, so the exact length cap is smaller
-  cap_len = (jnp.minimum(len_run, STRIP_SLACK - (rpb - 1))
-             if build_table else len_run)
-  run_over = jnp.maximum(w_len_m - cap_len, 0).sum(dtype=jnp.int32)
-  w_len_m = jnp.minimum(w_len_m, cap_len)
+  run_over = jnp.maximum(w_len_m - len_run, 0).sum(dtype=jnp.int32)
+  w_len_m = jnp.minimum(w_len_m, len_run)
+
+  # ---- chunk long windows -------------------------------------------------
+  # The kernels' largest tiered copy is STRIP_SLACK rows, so a merged
+  # window longer than WINDOW_CHUNK SPLITS into ceil(len / WINDOW_CHUNK)
+  # adjacent descriptors of <= WINDOW_CHUNK rows each.  WINDOW_CHUNK =
+  # STRIP_SLACK - rpb is rpb-aligned: every chunk keeps the window's head
+  # phase lo % rpb, so each quantized copy (head + len rounded up to whole
+  # packed rows) fits the largest fetch tier exactly.  Chunks stay adjacent
+  # in slot order (depth rank ties unchanged) and contiguous in both strip
+  # rows and gbuf rows (dst advances with lo).  Applied IDENTICALLY in both
+  # build_table modes — the r4 heavy-scene failure was a build-only clamp
+  # here that calibration could not observe.  cf is bounded by slab_cap:
+  # window rows past the slab capacity are slab overflow by definition
+  # (clamped + counted below; the cursor accounting then sees the rest).
+  # Calibration's unbounded-cap passes (slab_cap > the 2048 rank-key
+  # limit, build_table=False only) skip chunking so raw row statistics
+  # stay exact — those descriptors are never fetched.
+  chunk = STRIP_SLACK - rpb
+  if slab_cap <= 2048:
+    cf = max(1, -(-slab_cap // chunk))
+    chunk_over = jnp.maximum(w_len_m - cf * chunk, 0).sum(dtype=jnp.int32)
+    w_len_m = jnp.minimum(w_len_m, cf * chunk)
+  else:
+    cf = 1
+    chunk_over = jnp.int32(0)
+  if cf > 1:
+    coff = jnp.arange(cf, dtype=jnp.int32) * chunk             # (cf,)
+    shape4 = w_len_m.shape[:3] + (n_w * cf,)
+    split = lambda a: (a[..., None] + coff).reshape(shape4)
+    w_len_m = jnp.clip(w_len_m[..., None] - coff,
+                       0, chunk).reshape(shape4)
+    w_lof = split(w_lof)
+    w_dst = split(w_dst)
+    bk_of = jnp.broadcast_to(bk_of[..., None],
+                             bk_of.shape + (cf,)).reshape(shape4)
+
+  # pad the slot axis when w_max exceeds the enumerated slot count
+  # (calibration's W_MAX_LIMIT headroom can pass w_max > 64 at cf == 1)
+  if w_max > w_len_m.shape[3]:
+    padz = lambda a: jnp.pad(
+        a, ((0, 0), (0, 0), (0, 0), (0, w_max - a.shape[3])))
+    w_lof, w_len_m, w_dst, bk_of = (padz(w_lof), padz(w_len_m),
+                                    padz(w_dst), padz(bk_of))
 
   # compact nonempty windows first; drop (and count) beyond w_max
   order = jnp.argsort(w_len_m == 0, axis=3, stable=True)
@@ -625,7 +662,7 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   avail_q = jnp.clip(slab_cap - (cur_q + head_q), 0, None)
   slab_over = jnp.maximum(d_len - avail_q, 0).sum(dtype=jnp.int32)
   overflow = jnp.stack([num_far, strip_over.sum(dtype=jnp.int32),
-                        slab_over, run_over, win_over])
+                        slab_over + chunk_over, run_over, win_over])
 
   # ---- map-time gradient gather indices ---------------------------------
   # The backward's merged gradient buffer is home-major with RUN_CAP
@@ -730,18 +767,33 @@ def wide_stats(gaussians, depth, image_size, config: RasterConfig):
 
 MAX_SLABS = 32
 
+# Calibration-result compatibility version: bump whenever stream_map's
+# capacity/overflow semantics change (window chunking, clamp accounting,
+# greedy-plan rules...).  bench.py keys its on-disk calibration cache by
+# this, so a semantics change can never silently reuse a stale cal.
+CAPACITY_SEMANTICS = 6
+
+# Descriptor slots calibration measures with: the 64 enumerated class
+# windows + headroom for chunk splits (per slab, extra chunks <=
+# total rows / WINDOW_CHUNK <= slab_cap/(STRIP_SLACK-rpb) <= 5).
+W_MAX_LIMIT = 72
+
 
 def calibrate_stream(gaussians, depth, features, image_size,
                      config: RasterConfig, group_width: int = 8,
-                     slab_cap: int = 512) -> dict:
+                     slab_cap: int = 512, strict: bool = True) -> dict:
   """Measure fetch statistics and suggest static stream capacities.
 
   Returns {num_slabs (cells), strip_cap, slab_cap, w_max, run_cap,
   wide_cap, dup_cap} such that a stream_map built with them reports
   num_overflow == 0 on this scene (with headroom) — VERIFIED: the final
-  pass replays the map at exactly the returned capacities and the loop
-  only exits when every per-cause overflow counter reads zero (or the
-  retry budget is exhausted, reported in the "overflow" key).
+  pass replays the map at exactly the returned capacities (identical
+  overflow semantics to a production build — window chunking and every
+  clamp run in both build_table modes) and the loop only exits when every
+  per-cause overflow counter reads zero.  When the retry budget exhausts
+  with overflow remaining the function RAISES (``strict=False`` returns
+  the best capacities with the residual in the "overflow" key instead —
+  measurement/diagnostic use only; never benchmark with them).
 
   Runs entirely on the host CPU (``jax.default_device``): calibration is a
   sizing tool, and compiling the mapper's measurement variant on the TPU
@@ -765,13 +817,14 @@ def calibrate_stream(gaussians, depth, features, image_size,
   dup_max = (1 << 23) if 2 * n_pts <= (1 << 23) else (
       (1 << 24) - 2 * n_pts - 1)
 
-  def measure(cfg, num_slabs, s_cap, c_cap, r_cap, wide_cap, dup_cap):
+  def measure(cfg, num_slabs, s_cap, c_cap, r_cap, wide_cap, dup_cap,
+              wm=W_MAX_LIMIT):
     m = stream_map(gaussians, depth, features, image_size, cfg,
                    num_slabs=num_slabs, strip_cap=s_cap, slab_cap=c_cap,
-                   group_width=gw, w_max=64, run_cap=r_cap,
+                   group_width=gw, w_max=wm, run_cap=r_cap,
                    build_table=False, wide_cap=wide_cap, dup_cap=dup_cap)
     desc = np.asarray(jax.device_get(m.desc)).reshape(
-        m.num_groups, gw, num_slabs, 64, 4)
+        m.num_groups, gw, num_slabs, wm, 4)
     return m, desc[..., 1], q_rows(desc, m.rows_per_block)
 
   def q_rows(desc, rpb):
@@ -850,7 +903,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
       if max_slab_rows <= slab_cap or num_slabs >= MAX_SLABS:
         break
       num_slabs = min(MAX_SLABS, num_slabs + 2)  # finer cells split slabs
-    w_max = min(64, int((lens2 > 0).sum(3).max()) + 2)
+    w_max = min(W_MAX_LIMIT, int((lens2 > 0).sum(3).max()) + 2)
 
     # ---- pass 3: validate the COMPLETE capacity set --------------------
     # Replay at exactly the capacities the caller will use and respond to
@@ -858,7 +911,8 @@ def calibrate_stream(gaussians, depth, features, image_size,
     # and the interactions (e.g. strip clamps shifting window lengths)
     # only surface with everything bounded at once.
     over = None
-    for _ in range(6):
+    w_seen = 0
+    for _ in range(10):
       m3, lens3, qrows3 = measure(config, num_slabs, strip_cap, slab_cap,
                                   run_cap, wide_cap, dup_cap)
       over = np.asarray(jax.device_get(m3.overflow))
@@ -876,6 +930,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
           # quantized per-slab row maximum of the CURRENT plan (the
           # former +128 stepping exhausted the retry budget 155 rows
           # short on the r4 heavy scene); rank-key slot limit 2048
+          # (window chunking makes every slab_cap <= 2048 servable)
           need = int(qrows3.max())
           slab_cap = min(2048,
                          max(slab_cap + 128, -(-need // 128) * 128))
@@ -883,7 +938,24 @@ def calibrate_stream(gaussians, depth, features, image_size,
       if over[3] > 0:                      # run
         run_cap *= 2
       if over[4] > 0 or w_seen > w_max:    # window
-        w_max = min(64, max(w_max, w_seen) + 2)
+        w_max = min(W_MAX_LIMIT, max(w_max, w_seen) + 2)
+
+    if over is None or over.sum() != 0 or w_seen > w_max:
+      msg = (f"calibrate_stream failed to converge: residual overflow "
+             f"{[int(x) for x in over]} (causes {OVERFLOW_CAUSES}), "
+             f"w_seen {w_seen} vs w_max {w_max} at num_slabs={num_slabs} "
+             f"slab_cap={slab_cap} strip_cap={strip_cap} run_cap={run_cap} "
+             f"wide_cap={wide_cap} dup_cap={dup_cap}")
+      if strict:
+        raise RuntimeError(msg)
+      import warnings
+      warnings.warn(msg)
+      # non-strict: re-measure so the reported residual matches the
+      # RETURNED capacities (the loop may have bumped past the last
+      # measurement)
+      m3, lens3, _ = measure(config, num_slabs, strip_cap, slab_cap,
+                             run_cap, wide_cap, dup_cap)
+      over = np.asarray(jax.device_get(m3.overflow))
 
   return {"num_slabs": num_slabs, "strip_cap": strip_cap,
           "slab_cap": slab_cap, "w_max": w_max,

@@ -324,7 +324,7 @@ def _stream_function(config: RasterConfig, run_cap: int):
 
   def fwd(gaussians2d, features, probe, mapping):
     from .stream_kernels import asm_feasible
-    if config.stream_share_asm and asm_feasible(mapping):
+    if config.stream_share_asm and asm_feasible(mapping, config):
       image_tiled, asm = stream_forward(mapping, config, with_asm=True)
     else:
       image_tiled = stream_forward(mapping, config)

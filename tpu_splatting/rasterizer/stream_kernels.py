@@ -6,11 +6,12 @@ S_CAP-row blocks each — 6 pipelined DMAs per GROUP instead of 2 per
 128-row chunk, which removes the measured ~0.7 us/chunk pipeline floor of
 the chunk-grid kernels (benchmarks/exp_kernel_floor.py).
 
-The table is PACKED: RPB (usually 8) consecutive rows share one sublane
+The table is PACKED: RPB (usually 4 — see rows_per_block_for for why
+not the lane-density optimum 8) consecutive rows share one sublane
 row of RPB * row_width lanes.  A flat (N, ~11) f32 table pads its lanes
 128/11x under the TPU's (8, 128) tiling, making strip fetches the
 kernels' dominant HBM cost (~19 GB/frame at the 2M-splat headline);
-packing cuts that ~8x.  Window copies quantize to whole packed sublane
+packing cuts that ~3.6x.  Window copies quantize to whole packed sublane
 rows; per-window validity intervals mask the head/tail pad rows (real
 neighbouring rows — exact compositing no-ops once masked).
 
@@ -49,7 +50,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,15 +77,24 @@ _NEG_BIG = -3.0e38
 _ASM_VMEM_BUDGET = 6 * 1024 * 1024
 
 
-def asm_feasible(mapping: "StreamMapping") -> bool:
+def asm_feasible(mapping: "StreamMapping",
+                 config: Optional[RasterConfig] = None) -> bool:
   """Whether stream_share_asm fits this mapping's shapes: scenes with
   many depth slabs (large calibrated num_slabs) would need a
   gw*S*c_cap/rpb-row VMEM block per group on both the forward (assembly
   scratch) and backward (input block) — beyond the budget the backward
-  re-assembles from strips instead."""
+  re-assembles from strips instead.  The HBM residual (one block per
+  GROUP, held between forward and backward) scales with n_groups and is
+  budgeted separately against ``config.stream_asm_budget_mb`` (at 4K
+  resolution ~6k groups can reach multiple GB)."""
+  itemsize = mapping.table.dtype.itemsize
   rows = (mapping.group_width * mapping.num_slabs
           * (mapping.slab_cap // mapping.rows_per_block))
-  return rows * mapping.table.shape[1] * 4 <= _ASM_VMEM_BUDGET
+  blk = rows * mapping.table.shape[1] * itemsize
+  if blk > _ASM_VMEM_BUDGET:
+    return False
+  hbm_mb = 2048 if config is None else config.stream_asm_budget_mb
+  return mapping.num_groups * blk <= hbm_mb * (1 << 20)
 # Copy-back size tiers in ROWS (last == STRIP_SLACK): each gradient
 # copy-back moves the smallest tier >= its dynamic length, so
 # intermediate tiers trade a few predicated branches for less padding
