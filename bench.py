@@ -44,10 +44,12 @@ IMAGE_SIZE = (2048, 1536)
 N = 2_000_000
 DISPATCH_MS = 1.2   # measured per-dispatch tunnel overhead
 
-# Calibration results are deterministic in (scene, gw, capacity
-# semantics) and cost minutes of host-CPU mapper compiles — cache them
-# on disk.  Bump when stream_map's capacity/overflow semantics change.
-CAL_VERSION = 5
+def _cal_version():
+  """Calibration cache version = the capacity-semantics version constant
+  (rasterizer/stream.py), bumped in the same commit as any semantics
+  change — a stale .bench_cal.json can then never be silently reused."""
+  from tpu_splatting.rasterizer.stream import CAPACITY_SEMANTICS
+  return CAPACITY_SEMANTICS
 
 
 def _cal_cached(key, compute, force=False):
@@ -59,10 +61,16 @@ def _cal_cached(key, compute, force=False):
       cache = json.load(fh)
   except Exception:
     cache = {}
-  key = f"{key}_v{CAL_VERSION}"
-  if key in cache and not force:
+  key = f"{key}_v{_cal_version()}"
+  entry = cache.get(key)
+  if entry is not None and sum(entry.get("overflow", [1])) != 0:
+    # a recorded non-converged calibration is useless — recompute
+    # (calibrate_stream now raises instead of returning one, but old
+    # cache files may still carry them)
+    entry = None
+  if entry is not None and not force:
     print(f"# calibration cache hit: {key}", file=sys.stderr)
-    return cache[key]
+    return entry
   cal = compute()
   cache[key] = {k: (v if isinstance(v, list) else int(v))
                 for k, v in cal.items()}
@@ -313,18 +321,26 @@ def bench_full_renderer(name, packed, depth, feats, gw, caps=None):
       stream_dup_cap=caps["dup_cap"],
       big_tile_window=caps["big_tile_window"])
 
+  # tiled-layout loss (same trainer contract as the 2D bench): the target
+  # entiles ONCE outside the step; the fwd+bwd dispatch never leaves tile
+  # layout, so neither detile nor its entile transpose appear in the graph
+  from tpu_splatting.mapper.tile_mapper import tile_shape
+  from tpu_splatting.rasterizer.stream_function import entile, tile_mask
+  tw, th = tile_shape(IMAGE_SIZE, cfg.tile_size)
   rngt = np.random.default_rng(7)
-  tgt = jnp.asarray(
+  tgt_full = jnp.asarray(
       rngt.random((IMAGE_SIZE[1], IMAGE_SIZE[0], 3)).astype(np.float32))
+  tgt = entile(tgt_full, tw, th, cfg.tile_size)
+  mask = tile_mask(IMAGE_SIZE, tw, th, cfg.tile_size)
 
   def loss_fn(rendering):
-    err = rendering.image - tgt
-    return jnp.sum(err * err)
+    err = rendering.image - tgt                  # (T, 3, PIX)
+    return jnp.sum(mask * (err * err))
 
   @jax.jit
   def step(g):
     loss, rendering, grads = render_with_heuristics(
-        loss_fn, g, cam, cfg, use_sh=True)
+        loss_fn, g, cam, cfg, use_sh=True, tiled=True)
     return loss, grads, rendering.num_overflow, rendering.overflow_by_cause
 
   _, _, overflow, by_cause = step(g3d)
@@ -357,7 +373,9 @@ def main():
   # default (auto_group_width) picks 8 as well
   gw = int(os.environ.get("TPU_SPLAT_GW", "8"))
 
-  out = {"metric": "synthetic_bicycle_2048px_fwd_bwd", "unit": "ms"}
+  out = {"metric": "synthetic_bicycle_2048px_fwd_bwd", "unit": "ms",
+         "group_width": gw,
+         "stream_passes": int(os.environ.get("TPU_SPLAT_PASSES", "1"))}
   errors = {}
   for name, (p, d, f) in scenes.items():
     try:

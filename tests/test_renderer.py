@@ -138,3 +138,43 @@ def test_visibility_stream_matches_sorted():
   np.testing.assert_allclose(np.asarray(out_t.points.visibility),
                              np.asarray(out_s.points.visibility),
                              atol=1e-4, rtol=1e-3)
+
+
+def test_render_tiled_loss_matches_detiled():
+  """render_with_heuristics(tiled=True) keeps the image fields in tile
+  layout; a masked tiled loss must produce the same loss value and
+  gradients as the (H, W, C) loss — the trainer/bench path that removes
+  the detile/entile transposes from the step graph."""
+  from tpu_splatting import render_with_heuristics
+  from tpu_splatting.mapper.tile_mapper import tile_shape
+  from tpu_splatting.rasterizer.stream_function import entile, tile_mask
+
+  gaussians, camera = make_scene(3)
+  config = small_cfg(compute_point_heuristic=True, compute_visibility=True)
+  w, h = camera.image_size
+  tw, th = tile_shape(camera.image_size, config.tile_size)
+  tgt_full = jnp.asarray(
+      np.random.default_rng(0).random((h, w, 3)).astype(np.float32))
+  tgt_t = entile(tgt_full, tw, th, config.tile_size)
+  mask = tile_mask(camera.image_size, tw, th, config.tile_size)
+
+  def loss_flat(rendering):
+    err = rendering.image - tgt_full
+    return jnp.sum(err * err)
+
+  def loss_tiled(rendering):
+    assert rendering.tiled
+    err = rendering.image - tgt_t
+    return jnp.sum(mask * (err * err))
+
+  l0, r0, g0 = render_with_heuristics(loss_flat, gaussians, camera, config)
+  l1, r1, g1 = render_with_heuristics(loss_tiled, gaussians, camera,
+                                      config, tiled=True)
+  np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+  for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-6, rtol=1e-6)
+  # heuristics flow on both paths
+  np.testing.assert_allclose(np.asarray(r1.points.prune_cost),
+                             np.asarray(r0.points.prune_cost),
+                             atol=1e-6, rtol=1e-6)

@@ -17,7 +17,8 @@ from .rasterizer.function import RasterOut, rasterize, rasterize_with_tiles
 from .rasterizer.stream import (StreamMapping, calibrate_stream,
                                 stream_map)
 from .rasterizer.stream_function import stream_rasterize_with_mapping
-from .renderer import render_gaussians, render_projected, viewspace_gradient
+from .renderer import (render_gaussians, render_projected,
+                       render_with_heuristics, viewspace_gradient)
 from .rendering import RenderedPoints, Rendering
 from .spherical_harmonics import evaluate_sh_at
 
@@ -27,7 +28,8 @@ __all__ = [
     "RasterOut", "rasterize", "rasterize_with_tiles",
     "StreamMapping", "calibrate_stream", "stream_map",
     "stream_rasterize_with_mapping",
-    "render_gaussians", "render_projected", "viewspace_gradient",
+    "render_gaussians", "render_projected", "render_with_heuristics",
+    "viewspace_gradient",
     "RenderedPoints", "Rendering", "evaluate_sh_at",
     "perspective",
 ]

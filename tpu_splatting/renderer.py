@@ -34,6 +34,7 @@ def render_gaussians(
     max_overlaps: Optional[int] = None,
     heuristic_probe: Optional[jnp.ndarray] = None,
     probe: Optional[jnp.ndarray] = None,
+    tiled: bool = False,
 ) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:23-59).
 
@@ -41,7 +42,10 @@ def render_gaussians(
   capacity (sorted pipeline) and ``heuristic_probe`` is the zero-valued
   (N, 2) array whose gradient carries (prune_cost, split_score).
   ``probe`` is the stream pipeline's full (N, probe_width(config)) probe
-  ([visibility, prune, split] cotangent columns).
+  ([visibility, prune, split] cotangent columns).  ``tiled`` (stream
+  pipeline only) keeps the Rendering's image fields in tile layout —
+  training losses then never pay the detile/entile transposes (see
+  Rendering docstring).
   """
   gaussians2d, depths, in_view = project_to_image(
       gaussians, camera_params, config)
@@ -59,7 +63,7 @@ def render_gaussians(
       in_view, gaussians2d, features, depths, camera_params, config,
       use_depth16=use_depth16, render_median_depth=render_median_depth,
       render_depth=render_depth, max_overlaps=max_overlaps,
-      heuristic_probe=heuristic_probe, probe=probe)
+      heuristic_probe=heuristic_probe, probe=probe, tiled=tiled)
 
 
 def render_projected(
@@ -75,6 +79,7 @@ def render_projected(
     max_overlaps: Optional[int] = None,
     heuristic_probe: Optional[jnp.ndarray] = None,
     probe: Optional[jnp.ndarray] = None,
+    tiled: bool = False,
 ) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:62-108).
 
@@ -113,6 +118,8 @@ def render_projected(
   f = features.shape[1]
   sg = jax.lax.stop_gradient
 
+  assert not tiled or use_stream, (
+      "tiled rendering output is a stream-pipeline feature")
   if use_stream:
     mapping = stream_map_with_config(
         sg(gaussians2d), sg(ndc_depths), sg(feats_all), image_size, config)
@@ -121,19 +128,30 @@ def render_projected(
       n = gaussians2d.shape[0]
       probe = jnp.concatenate(
           [jnp.zeros((n, pw - 2), gaussians2d.dtype), heuristic_probe], -1)
-    img_full, image_weight = stream_rasterize_with_mapping(
-        gaussians2d, feats_all, mapping, image_size, config, probe=probe)
-    depth_image = (img_full[..., f] / jnp.maximum(image_weight, 1e-10)
-                   if render_depth else None)
-    image = img_full[..., :f]
+    f_all = feats_all.shape[1]
+    out = stream_rasterize_with_mapping(
+        gaussians2d, feats_all, mapping, image_size, config, probe=probe,
+        tiled=tiled)
+    if tiled:
+      it = out                                    # (T, F_all+1, PIX)
+      image = it[:, :f, :]
+      image_weight = it[:, f_all, :]
+      depth_image = (it[:, f, :] / jnp.maximum(image_weight, 1e-10)
+                     if render_depth else None)
+    else:
+      img_full, image_weight = out
+      depth_image = (img_full[..., f] / jnp.maximum(image_weight, 1e-10)
+                     if render_depth else None)
+      image = img_full[..., :f]
     median_depth = None
     if render_median_depth:
       median_cfg = dataclasses.replace(
           config, use_alpha_blending=False,
           saturate_threshold=config.median_threshold)
-      med_all, _ = stream_rasterize_with_mapping(
-          sg(gaussians2d), sg(feats_all), mapping, image_size, median_cfg)
-      median_depth = med_all[..., f]
+      med_all = stream_rasterize_with_mapping(
+          sg(gaussians2d), sg(feats_all), mapping, image_size, median_cfg,
+          tiled=tiled)
+      median_depth = med_all[:, f, :] if tiled else med_all[0][..., f]
     visibility = None
     if config.compute_visibility and probe is None:
       # no probe threaded (analysis/eval path, not a training step):
@@ -202,6 +220,7 @@ def render_projected(
       config=config,
       num_overflow=mapping.num_overflow,
       overflow_by_cause=getattr(mapping, "overflow", None),
+      tiled=tiled,
   )
 
 

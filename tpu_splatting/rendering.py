@@ -89,9 +89,16 @@ jax.tree_util.register_dataclass(
 
 @dataclass
 class Rendering:
-  """Full render output (reference rendering.py:105-157)."""
-  image: jnp.ndarray                          # (H, W, C)
-  image_weight: jnp.ndarray                   # (H, W)
+  """Full render output (reference rendering.py:105-157).
+
+  When ``tiled`` (stream pipeline, ``render_projected(tiled=True)``) the
+  image fields stay in TILE layout — image (T, C, PIX), image_weight /
+  depth images (T, PIX) — so a training loss can run without the
+  detile/entile transposes (pair with ``stream_function.entile`` on the
+  target and ``tile_mask`` for valid pixels; ``detile`` recovers (H, W, C)).
+  """
+  image: jnp.ndarray                          # (H, W, C) | (T, C, PIX)
+  image_weight: jnp.ndarray                   # (H, W)    | (T, PIX)
 
   points: RenderedPoints
   camera: CameraParams
@@ -109,6 +116,8 @@ class Rendering:
   # [wide/dup, strip, slab, run, window]; see stream.OVERFLOW_CAUSES.
   # Tells a trainer WHICH stream capacity to bump on drift.
   overflow_by_cause: Optional[jnp.ndarray] = None
+  # Image fields are in tile layout (see class docstring).
+  tiled: bool = False
 
   @property
   def ndc_image(self) -> jnp.ndarray:
@@ -137,4 +146,4 @@ jax.tree_util.register_dataclass(
     data_fields=["image", "image_weight", "points", "camera",
                  "depth_image", "median_depth_image", "num_overflow",
                  "overflow_by_cause"],
-    meta_fields=["config"])
+    meta_fields=["config", "tiled"])
