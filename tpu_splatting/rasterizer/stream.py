@@ -771,7 +771,7 @@ MAX_SLABS = 32
 # capacity/overflow semantics change (window chunking, clamp accounting,
 # greedy-plan rules...).  bench.py keys its on-disk calibration cache by
 # this, so a semantics change can never silently reuse a stale cal.
-CAPACITY_SEMANTICS = 6
+CAPACITY_SEMANTICS = 7
 
 # Descriptor slots calibration measures with: the 64 enumerated class
 # windows + headroom for chunk splits (per slab, extra chunks <=
@@ -894,8 +894,12 @@ def calibrate_stream(gaussians, depth, features, image_size,
       run_cap *= 2
 
     # ---- pass 2: replay the actual plan at (num_slabs, slab_cap) -------
-    num_slabs = min(MAX_SLABS,
-                    max(2, 2 * -(-int(max_rows * 1.15) // slab_cap)))
+    # Start at the UNinflated cell count: every extra slab split roughly
+    # doubles the raster step's mask-matmul and window work (measured
+    # 215 -> 391 ms/frame at num_slabs 2 -> 4 on the 2M uniform scene),
+    # so over-splitting is far more expensive than the extra escalation
+    # measure a too-low start occasionally costs.
+    num_slabs = min(MAX_SLABS, max(2, 2 * -(-int(max_rows) // slab_cap)))
     for _ in range(6):
       _, lens2, qrows2 = measure(config, num_slabs, 1 << 27, slab_cap,
                                  1 << 27, wide_cap, dup_cap)
@@ -903,6 +907,16 @@ def calibrate_stream(gaussians, depth, features, image_size,
       if max_slab_rows <= slab_cap or num_slabs >= MAX_SLABS:
         break
       num_slabs = min(MAX_SLABS, num_slabs + 2)  # finer cells split slabs
+    # descent: if the converged plan fits, try coarser cells — the
+    # escalation (and historical starts) can overshoot, and slab count
+    # is the single most expensive capacity at raster time.
+    while max_slab_rows <= slab_cap and num_slabs > 2:
+      _, lens_t, qrows_t = measure(config, num_slabs - 2, 1 << 27,
+                                   slab_cap, 1 << 27, wide_cap, dup_cap)
+      if int(qrows_t.max()) > slab_cap:
+        break
+      num_slabs -= 2
+      lens2, max_slab_rows = lens_t, int(qrows_t.max())
     w_max = min(W_MAX_LIMIT, int((lens2 > 0).sum(3).max()) + 2)
 
     # ---- pass 3: validate the COMPLETE capacity set --------------------
@@ -912,7 +926,7 @@ def calibrate_stream(gaussians, depth, features, image_size,
     # only surface with everything bounded at once.
     over = None
     w_seen = 0
-    for _ in range(10):
+    for _ in range(16):
       m3, lens3, qrows3 = measure(config, num_slabs, strip_cap, slab_cap,
                                   run_cap, wide_cap, dup_cap)
       over = np.asarray(jax.device_get(m3.overflow))
@@ -931,9 +945,14 @@ def calibrate_stream(gaussians, depth, features, image_size,
           # former +128 stepping exhausted the retry budget 155 rows
           # short on the r4 heavy scene); rank-key slot limit 2048
           # (window chunking makes every slab_cap <= 2048 servable)
+          # overshoot by one 128-row step: each bump reshapes the greedy
+          # plan (and window chunking re-quantizes), so jumping exactly
+          # to the measured need chases a slowly-moving tail (observed:
+          # 5 residual rows at 1664 with the retry budget exhausted)
           need = int(qrows3.max())
           slab_cap = min(2048,
-                         max(slab_cap + 128, -(-need // 128) * 128))
+                         max(slab_cap + 128,
+                             -(-need // 128) * 128 + 128))
         num_slabs = min(MAX_SLABS, num_slabs + 4)
       if over[3] > 0:                      # run
         run_cap *= 2
