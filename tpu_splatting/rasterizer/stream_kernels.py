@@ -977,35 +977,39 @@ def _bwd_kernel(sb_ref, desc_ref, *rest,
   jax.lax.fori_loop(0, gw, tile_body, 0)
 
 
-def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
-                  chunks: int, th: int, cpb: int, halo: bool):
+def _merge_kernel(big, lft, rgt, out_ref, scratch, *, cpg: int, gw: int,
+                  rc: int, slabw: int, chunks: int, th: int, halo: bool):
   """Sum the 9 per-class gradient slabs into canonical home-major rows.
 
-  refs = [B0, B1, B2 (big band blocks), L0..L2, R0..R2 (skinny edge
-  blocks), out_0..out_{slabw-1}].  Big block b holds the gout rows of cpg
-  consecutive groups in source band (band + 1 - b); home j of group c
-  reads its three x-class slabs from rows [(j+1)*rc, (j+2)*rc) of that
-  block (j' = j_src + k = j + 1 for every in-group k), plus one
-  left/right-neighbour row window at the group edges.
+  Single-read restructure: the grid walks (chunk, source band) and reads
+  each gout band block ONCE (the previous shape read every block three
+  times — once per consuming output band; gout is ~2 GB/frame at 2M
+  points, so the extra two reads were ~25 ms of pure HBM).  Three
+  rotating VMEM accumulators hold the partially-summed output bands
+  o = sb + b - 1 [- 1 in halo mode]; after a source band's three class
+  contributions land, output band (sb - 1 - halo) is complete -> fold it
+  with the one-hot transposing dot and write.
+
+  Per (group c, class b) the own-group contribution is ONE contiguous
+  (gw*rc, lanes) row slice big[c, rc:(gw+1)*rc] — home j of group c
+  reads its class slabs from rows [(j+1)*rc, (j+2)*rc) (j' = j_src + k =
+  j + 1 for every in-group k), and the j-dependent k-validity
+  (0 <= j+1-k < gw) becomes a row-dependent lane mask.  Left/right
+  neighbour rows at the group edges come from the adjacent group block
+  or the skinny edge refs.
 
   Lane selection is mask-multiply (no per-slab lane slices — each is a
   lane-relayout); the 9-slab fold is ONE transposing one-hot dot per
   (group, home): acc13[cc, p] = sum_r (r % slabw == cc) * t[p, r], on
   the MXU at HIGHEST precision (exact split f32 — gradient sums must
   not round to bf16)."""
-  s = pl.program_id(0)
-  band = s // chunks
-  chunk = s % chunks
-  big = refs[0:3]
-  lft = refs[3:6]
-  rgt = refs[6:9]
-  outs = refs[9:10]
+  chunk = pl.program_id(0)
+  sb = pl.program_id(1)                             # source band step
+  h = 1 if halo else 0
 
-  out_ref = outs[0]
-  scratch = refs[9 + 1]
-
-  dtype = big[0].dtype
-  lanes = big[0].shape[-1]                          # 9 * slabw
+  dtype = big.dtype
+  lanes = big.shape[-1]                             # 9 * slabw
+  K = cpg * gw * rc                                 # rows per accumulator
   lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
   k9 = lane // slabw                                # class id per lane
   # transposing fold matrix: (slabw, lanes) one-hot on lane % slabw
@@ -1013,58 +1017,67 @@ def _merge_kernel(*refs, cpg: int, gw: int, rc: int, slabw: int,
   flane = jax.lax.broadcasted_iota(jnp.int32, (slabw, lanes), 1)
   fold_t = (flane % slabw == frow).astype(dtype)
 
-  def slab_mask(b, ks):
-    m = None
-    for k in ks:
-      e = (k9 == b * 3 + k)
-      m = e if m is None else m | e
-    return m.astype(dtype)
+  # row-dependent own-group mask for class b: home j = row // rc accepts
+  # in-group k lanes with 0 <= j+1-k < gw
+  riota = jax.lax.broadcasted_iota(jnp.int32, (gw * rc, 1), 0)
+  jrow = riota // rc
+  kmod = k9 % 3
+  kcls = k9 // 3
 
-  for c in range(cpg):
-    for j in range(gw):
-      ks_own = [k for k in range(3) if 0 <= j + 1 - k < gw]
-      acc = None
-      for b in range(3):
-        if halo:
-          # halo mode: gout has th+2 band rows (zeroed beyond the global
-          # image edges by the caller's ppermute), so every source band
-          # exists and no masking is needed
-          okb = jnp.asarray(1.0, dtype)
-        else:
-          sb = band + 1 - b
-          okb = ((sb >= 0) & (sb < th)).astype(dtype)
-        # own-group slabs: every k with j_src = j+1-k in [0, gw)
-        own = big[b][c, (j + 1) * rc:(j + 2) * rc, :]
-        contrib = own * (slab_mask(b, ks_own) * okb)
-        # left neighbour (k=2 slab of the group to the left), j == 0 only
-        if j == 0:
-          if c > 0:
-            src = big[b][c - 1, (gw + 1) * rc:(gw + 2) * rc, :]
-            okl = okb
-          else:
-            src = lft[b][0]
-            okl = okb * (chunk > 0).astype(dtype)
-          contrib = contrib + src * (slab_mask(b, [2]) * okl)
-        # right neighbour (k=0 slab of the group to the right)
-        if j == gw - 1:
-          if c < cpg - 1:
-            src = big[b][c + 1, 0:rc, :]
-            okr = okb
-          else:
-            src = rgt[b][0]
-            okr = okb * (chunk < chunks - 1).astype(dtype)
-          contrib = contrib + src * (slab_mask(b, [0]) * okr)
-        acc = contrib if acc is None else acc + contrib
-      scratch[(c * gw + j) * rc:(c * gw + j + 1) * rc, :] = acc
+  def own_mask(b):
+    return ((kcls == b) & (kmod <= jrow + 1)
+            & (kmod >= jrow + 2 - gw)).astype(dtype)
 
-  # ONE transposing one-hot fold per step (not per home): MXU HIGHEST
-  # keeps the f32 gradient sums exact; output rows are the slabw columns
+  def edge_mask(b, k):
+    return (k9 == b * 3 + k).astype(dtype)
+
+  @pl.when(sb == 0)
+  def _():
+    scratch[...] = jnp.zeros(scratch.shape, dtype)
+
+  for b in range(3):
+    o = sb + b - 1 - h                              # output band
+    slot = jax.lax.rem((o + 3).astype(jnp.int32), jnp.int32(3))
+    ok = (o >= 0) & (o < th)
+    if not halo:
+      ok = ok & (sb < th)                           # source band exists
+    okf = ok.astype(dtype)
+    for c in range(cpg):
+      base = slot * K + c * gw * rc
+      cur = scratch[pl.ds(base, gw * rc), :]
+      scratch[pl.ds(base, gw * rc), :] = (
+          cur + big[c, rc:(gw + 1) * rc, :] * (own_mask(b) * okf))
+      # left neighbour (k=2 slab of the group to the left), home j=0
+      if c > 0:
+        srcl = big[c - 1, (gw + 1) * rc:(gw + 2) * rc, :]
+        okl = okf
+      else:
+        srcl = lft[0]
+        okl = okf * (chunk > 0).astype(dtype)
+      cur0 = scratch[pl.ds(base, rc), :]
+      scratch[pl.ds(base, rc), :] = cur0 + srcl * (edge_mask(b, 2) * okl)
+      # right neighbour (k=0 slab of the group to the right), home gw-1
+      if c < cpg - 1:
+        srcr = big[c + 1, 0:rc, :]
+        okr = okf
+      else:
+        srcr = rgt[0]
+        okr = okf * (chunk < chunks - 1).astype(dtype)
+      base_r = base + (gw - 1) * rc
+      curw = scratch[pl.ds(base_r, rc), :]
+      scratch[pl.ds(base_r, rc), :] = (
+          curw + srcr * (edge_mask(b, 0) * okr))
+
+  # output band (sb - 1 - h) is complete: fold, write, recycle its slot
+  slot_w = jax.lax.rem((sb - 1 - h + 6).astype(jnp.int32), jnp.int32(3))
+  rows_w = scratch[pl.ds(slot_w * K, K), :]
   acc13 = jax.lax.dot_general(
-      fold_t, scratch[...], dimension_numbers=(((1,), (1,)), ((), ())),
+      fold_t, rows_w, dimension_numbers=(((1,), (1,)), ((), ())),
       precision=jax.lax.Precision.HIGHEST,
       preferred_element_type=dtype)                 # (slabw, cpg*gw*rc)
   for c in range(cpg):
     out_ref[:, c, 0, :] = acc13[:, c * gw * rc:(c + 1) * gw * rc]
+  scratch[pl.ds(slot_w * K, K), :] = jnp.zeros((K, lanes), dtype)
 
 
 def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
@@ -1075,8 +1088,9 @@ def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
   Replaces the XLA shift-add: 9*slabw lane-strided slice reads of a
   Pallas output do NOT fuse into one pass — each reads full (8, 128)
   tiles, ~40x the useful bytes (measured: reduce 84 ms isolated but
-  ~360 ms in the grad graph).  Here gout is read exactly 3x (once per
-  consuming band) and the columns come out as clean 1D sort operands."""
+  ~360 ms in the grad graph).  The (chunk, source-band) grid with
+  rotating accumulators reads gout exactly ONCE (~2 GB at 2M points;
+  the previous 3x shape cost ~25 ms more in pure HBM reads)."""
   gw = mapping.group_width
   rc = run_cap
   tw = mapping.tiles_wide
@@ -1088,68 +1102,62 @@ def merge_grad_slabs(gout, mapping: StreamMapping, run_cap: int,
   assert n_groups_src == (th + 2 if halo else th) * groups_x, (
       n_groups_src, th, groups_x, halo)
   lanes = gout.shape[2]
+  h = 1 if halo else 0
 
   used_rows = (gw + 2) * rc   # skip gout's tier-overrun slack rows
+  # VMEM: double-buffered big block (2*used_rows) + 3 rotating
+  # accumulators (3*gw*rc) per group, all f32 x lanes wide
   cpg = 1
+  per_group = (2 * used_rows + 3 * gw * rc) * lanes * 4
   for d in range(1, min(16, groups_x) + 1):
-    if (groups_x % d == 0
-        and 3 * 2 * d * used_rows * 128 * 4 <= 48 * 1024 * 1024):
+    if groups_x % d == 0 and d * per_group <= 44 * 1024 * 1024:
       cpg = d
   chunks = groups_x // cpg
+  n_steps = (th + 2 if halo else th + 1)
 
-  def big_spec(b):
-    def imap(s):
-      band = s // chunks
-      if halo:
-        sb = band + 2 - b            # ext row: local band + 1 halo offset
-      else:
-        sb = jnp.clip(band + 1 - b, 0, th - 1)
-      return (sb * chunks + s % chunks, 0, 0)
-    return pl.BlockSpec((cpg, used_rows, lanes), imap)
+  def big_imap(c, s):
+    src = s if halo else jnp.clip(s, 0, th - 1)
+    return (src * chunks + c, 0, 0)
 
-  def skinny_spec(b, side):
-    def imap(s):
-      band = s // chunks
-      chunk = s % chunks
-      if halo:
-        sb = band + 2 - b
-      else:
-        sb = jnp.clip(band + 1 - b, 0, th - 1)
+  def skinny_spec(side):
+    def imap(c, s):
+      src = s if halo else jnp.clip(s, 0, th - 1)
       if side == 0:   # left: last group of previous chunk, j' = gw+1 rows
-        g = sb * groups_x + chunk * cpg - 1
+        g = src * groups_x + c * cpg - 1
         rb = gw + 1
       else:           # right: first group of next chunk, j' = 0 rows
-        g = sb * groups_x + (chunk + 1) * cpg
+        g = src * groups_x + (c + 1) * cpg
         rb = 0
       return (jnp.clip(g, 0, n_groups_src - 1), rb, 0)
     return pl.BlockSpec((1, rc, lanes), imap)
 
   kernel = functools.partial(
       _merge_kernel, cpg=cpg, gw=gw, rc=rc, slabw=slabw, chunks=chunks,
-      th=th, cpb=chunks, halo=halo)
+      th=th, halo=halo)
 
-  in_specs = ([big_spec(b) for b in range(3)]
-              + [skinny_spec(b, 0) for b in range(3)]
-              + [skinny_spec(b, 1) for b in range(3)])
+  in_specs = [pl.BlockSpec((cpg, used_rows, lanes), big_imap),
+              skinny_spec(0), skinny_spec(1)]
   # ONE slabw-major output (slabw, G, 1, gw*rc): slicing its MAJOR axis
   # into the per-column 1D sort operands is contiguous (free), and the
   # 4D shape keeps the last-two block dims equal to the array dims
   # (Mosaic requires second-minor blocks divisible by 8 otherwise,
   # which small grids' cpg cannot guarantee)
-  out_specs = [pl.BlockSpec((slabw, cpg, 1, gw * rc),
-                            lambda s: (0, s, 0, 0))]
+  out_specs = [pl.BlockSpec(
+      (slabw, cpg, 1, gw * rc),
+      lambda c, s: (0, jnp.clip(s - 1 - h, 0, th - 1) * chunks + c,
+                    0, 0))]
   (out,) = pl.pallas_call(
       kernel,
-      grid=(th * chunks,),
+      grid=(chunks, n_steps),
       in_specs=in_specs,
       out_specs=out_specs,
       out_shape=[jax.ShapeDtypeStruct((slabw, n_groups, 1, gw * rc),
                                       gout.dtype)],
-      scratch_shapes=[pltpu.VMEM((cpg * gw * rc, lanes), gout.dtype)],
+      scratch_shapes=[pltpu.VMEM((3 * cpg * gw * rc, lanes), gout.dtype)],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=use_interpret(),
-  )(*([gout] * 9))
+  )(gout, gout, gout)
   r_rows = n_groups * gw * rc
   return [out[cc].reshape(r_rows) for cc in range(slabw)]
 
