@@ -477,10 +477,14 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   hvalids = []
   for (b, k, yc, xc) in wlist:
     idx0 = ((i_t + k) * 16 + yc * 4 + xc) * s_edges  # (gw,)
-    sel = idx0[None, :, None] + jnp.arange(
-        s_edges + 1, dtype=jnp.int32)[None, None, :]
+    sel = (idx0[:, None] + jnp.arange(
+        s_edges + 1, dtype=jnp.int32)[None, :]).reshape(-1)
+    # one 2D gather per window — a (G, gw, L) repeat of ``local`` would
+    # materialize G*gw*L i32 per window (16 GB of traffic at 32 slabs)
     ce = jnp.take_along_axis(
-        local[:, b, :][:, None, :].repeat(gw, 1), sel, axis=2)
+        local[:, b, :],
+        jnp.broadcast_to(sel[None, :], (n_groups, sel.shape[0])),
+        axis=1).reshape(n_groups, gw, s_edges + 1)
     cell_edges.append(ce)                            # (G, gw, S+1)
     run0 = jnp.take_along_axis(
         local[:, b, :], ((i_t + k) * per_home)[None, :], axis=1)
@@ -617,35 +621,42 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
     cf = max(1, -(-slab_cap // chunk))
     chunk_over = jnp.maximum(w_len_m - cf * chunk, 0).sum(dtype=jnp.int32)
     w_len_m = jnp.minimum(w_len_m, cf * chunk)
+    pieces = -(-w_len_m // chunk)        # ceil; 0 for empty slots
   else:
     cf = 1
     chunk_over = jnp.int32(0)
-  if cf > 1:
-    coff = jnp.arange(cf, dtype=jnp.int32) * chunk             # (cf,)
-    shape4 = w_len_m.shape[:3] + (n_w * cf,)
-    split = lambda a: (a[..., None] + coff).reshape(shape4)
-    w_len_m = jnp.clip(w_len_m[..., None] - coff,
-                       0, chunk).reshape(shape4)
-    w_lof = split(w_lof)
-    w_dst = split(w_dst)
-    bk_of = jnp.broadcast_to(bk_of[..., None],
-                             bk_of.shape + (cf,)).reshape(shape4)
+    pieces = (w_len_m > 0).astype(jnp.int32)
 
-  # pad the slot axis when w_max exceeds the enumerated slot count
-  # (calibration's W_MAX_LIMIT headroom can pass w_max > 64 at cf == 1)
-  if w_max > w_len_m.shape[3]:
-    padz = lambda a: jnp.pad(
-        a, ((0, 0), (0, 0), (0, 0), (0, w_max - a.shape[3])))
-    w_lof, w_len_m, w_dst, bk_of = (padz(w_lof), padz(w_len_m),
-                                    padz(w_dst), padz(bk_of))
-
-  # compact nonempty windows first; drop (and count) beyond w_max
-  order = jnp.argsort(w_len_m == 0, axis=3, stable=True)
-  take = lambda a: jnp.take_along_axis(a, order, axis=3)[..., :w_max]
-  d_lo, d_len, d_dst, d_bk = (take(w_lof), take(w_len_m), take(w_dst),
-                              take(bk_of))
-  win_over = jnp.take_along_axis(w_len_m, order, axis=3)[..., w_max:].sum(
-      dtype=jnp.int32)
+  # ---- chunk + compact in ONE searchsorted pass ---------------------------
+  # Compacted descriptor slot o < w_max holds the (window, piece) pair at
+  # rank o of the slot-major piece-minor enumeration of nonempty chunk
+  # pieces: a searchsorted over the per-slab inclusive piece cumsum.  The
+  # former cf-EXPANDED slot domain (n_w * cf slots per slab — ~100M at the
+  # heavy scene's 32 slabs x cf 4) with its stable argsort compaction and
+  # four trailing w_max gathers dominated the r4 heavy map's 598 ms; this
+  # pass touches only n_w + w_max slots per slab and emits the IDENTICAL
+  # descriptor ordering (empty pieces occupy no rank).
+  cum_in = jnp.cumsum(pieces, axis=3)                # inclusive (G,gw,S,nw)
+  b_rows = n_groups * gw * s_edges
+  o = jnp.arange(w_max, dtype=jnp.int32)
+  widx = jax.vmap(
+      lambda c: jnp.searchsorted(c, o, side="right").astype(jnp.int32))(
+          cum_in.reshape(b_rows, n_w))               # (B, w_max)
+  in_rng = widx < n_w
+  wc = jnp.where(in_rng, widx, n_w - 1)
+  gat = lambda a: jnp.take_along_axis(a.reshape(b_rows, n_w), wc, axis=1)
+  step = (o[None, :] - gat(cum_in - pieces)) * chunk  # piece offset (rows)
+  d_len = jnp.where(in_rng, jnp.clip(gat(w_len_m) - step, 0, chunk), 0)
+  live_slot = d_len > 0
+  d_lo = jnp.where(live_slot, gat(w_lof) + step, 0)
+  d_dst = jnp.where(live_slot, gat(w_dst) + step, 0)
+  d_bk = jnp.where(live_slot, gat(bk_of), 0)
+  # rows in pieces ranked past w_max (identical count to the expanded
+  # form's beyond-w_max compaction tail)
+  win_over = w_len_m.sum(dtype=jnp.int32) - d_len.sum(dtype=jnp.int32)
+  shape_w = (n_groups, gw, s_edges, w_max)
+  d_lo, d_len, d_dst, d_bk = (a.reshape(shape_w)
+                              for a in (d_lo, d_len, d_dst, d_bk))
 
   desc = jnp.stack([d_lo, d_len, d_dst, d_bk], -1)   # (G, gw, S, W, 4)
   desc = desc.reshape(n_groups, 1, gw * s_edges * w_max * 4)
