@@ -765,7 +765,23 @@ def _bwd_kernel(sb_ref, desc_ref, *rest,
         rows_t = jnp.where(valid, rows_t, 0.0)
         geo = _geometry(rows_t, ox, oy)
         mlx, mly, ax, ay, sx, sy, pa = geo
-        a, a_raw, aa_aux = _alpha(geo, basis3, basis6, config, c_cap)
+        if config.antialias:
+          a, a_raw, aa_aux = _alpha(geo, basis3, basis6, config, c_cap)
+          uv = None
+        else:
+          # quadratic path: alpha straight from the sigma-scaled rotated
+          # coords — the gradient chains need u, v anyway, so
+          # pa * exp(-(u^2+v^2)/2) replaces _alpha's basis6 matmul and
+          # its folded log(pa) row (one less transcendental per slab;
+          # invalid lanes have pa = 0 AND u = v = 0, so a_raw = 0 exactly)
+          lu, lv = _uv_rows(geo, scale=True)
+          u = _mm2(lu, basis3, ((0,), (0,)))                # (C, PIX)
+          v = _mm2(lv, basis3, ((0,), (0,)))
+          a_raw = jnp.transpose(pa) * jnp.exp(-0.5 * (u * u + v * v))
+          a = jnp.where(a_raw > config.alpha_threshold,
+                        jnp.minimum(a_raw, config.clamp_max_alpha), 0.0)
+          aa_aux = None
+          uv = (lu, lv, u, v)
 
         l = jnp.log1p(-a)
         lt_in = jnp.where(first, jnp.zeros((1, pix), dtype),
@@ -854,9 +870,7 @@ def _bwd_kernel(sb_ref, desc_ref, *rest,
           # transposed contractions keep results lane-major (k, C)
           isx = 1.0 / jnp.maximum(sx, 1e-12)
           isy = 1.0 / jnp.maximum(sy, 1e-12)
-          lu, lv = _uv_rows(geo, scale=True)                # (3, C)
-          u = _mm2(lu, basis3, ((0,), (0,)))                # (C, PIX)
-          v = _mm2(lv, basis3, ((0,), (0,)))
+          lu, lv, u, v = uv            # shared with the alpha computation
           zu = z0 * u
           zv = z0 * v
           mu = _mm1(basis3, zu, ((1,), (1,)))               # (3, C)
@@ -885,16 +899,18 @@ def _bwd_kernel(sb_ref, desc_ref, *rest,
           if with_vis:
             cols_t.append(_mm1(ones_pix, w, ((1,), (1,))))  # visibility
           if heur:
-            aag_h = jnp.transpose(pa) * alpha_grad        # (C, PIX)
-            prune = _mm1(ones_pix, aag_h * aag_h, ((1,), (1,)))
+            # prune = sum_pix (pa * alpha_grad)^2 = pa^2 * sum alpha_grad^2
+            # (pa is per-row): one (1, C) row scale instead of two (C, PIX)
+            # passes; split reuses zu/zv (z0 * dmx_u = zu*cxa - zv*cya)
+            prune = (_mm1(ones_pix, alpha_grad * alpha_grad, ((1,), (1,)))
+                     * (pa * pa))
             cxa = jnp.transpose(isx * ax)                 # (C, 1)
             cya = jnp.transpose(isy * ay)
             cxb = jnp.transpose(isx * ay)
             cyb = jnp.transpose(isy * ax)
-            dmx_u = u * cxa - v * cya                     # (C, PIX)
-            dmy_u = u * cxb + v * cyb
             split = _mm1(ones_pix,
-                         jnp.abs(z0 * dmx_u) + jnp.abs(z0 * dmy_u),
+                         jnp.abs(zu * cxa - zv * cya)
+                         + jnp.abs(zu * cxb + zv * cyb),
                          ((1,), (1,)))
             cols_t += [prune, split]
           gt = jnp.concatenate(cols_t, 0)                   # (7[+1+2], C)
