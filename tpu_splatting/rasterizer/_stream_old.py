@@ -270,15 +270,8 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   wide = valid & ~reach_ok
   ok = valid
   if dup_cap > 0:
-    # compact the wide indices with ONE sort (ascending iota where wide,
-    # sentinel n elsewhere == nonzero(size=wide_cap, fill_value=n), whose
-    # bincount lowering is an n-sized scatter-add, ~6x slower on chip)
-    w_idx = jax.lax.sort(
-        jnp.where(wide, jnp.arange(n, dtype=jnp.int32),
-                  jnp.int32(n)))[:wide_cap]
-    if n < wide_cap:
-      w_idx = jnp.concatenate(
-          [w_idx, jnp.full((wide_cap - n,), n, jnp.int32)])
+    w_idx, = jnp.nonzero(wide, size=wide_cap, fill_value=n)
+    w_idx = w_idx.astype(jnp.int32)   # int64 under x64 (f64 gradcheck runs)
     present = w_idx < n
     far_over = jnp.maximum(wide.sum(dtype=jnp.int32) - wide_cap, 0)
 
@@ -298,29 +291,20 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
     total_dup = off[-1]
     dup_over = jnp.maximum(total_dup - dup_cap, 0)
 
-    # slot -> owning wide splat: scatter a 1 at each splat's first slot +
-    # inclusive cumsum == searchsorted(off, r, "right") - 1, without the
-    # binary search (17 serial gather steps ~ 280 ms on chip for 2M slots
-    # vs ~11 ms for the scan); all per-splat columns then arrive in ONE
-    # packed row gather instead of seven scalar gathers (~24 ms each).
     r = jnp.arange(dup_cap, dtype=jnp.int32)
-    seg = jnp.zeros((dup_cap,), jnp.int32).at[off[1:]].add(1, mode="drop")
-    w_of = jnp.clip(jnp.cumsum(seg), 0, wide_cap - 1)
+    w_of = (jnp.searchsorted(off, r, side="right") - 1).astype(jnp.int32)
+    w_of = jnp.clip(w_of, 0, wide_cap - 1)
+    l = r - off[w_of]
+    sx_w = jnp.maximum(span_w[w_of, 0], 1)
+    tx = lo_w[w_of, 0] + l % sx_w
+    ty = lo_w[w_of, 1] + l // sx_w
+    in_core = (jnp.abs(tx - home_w[w_of, 0]) <= 1) & (
+        jnp.abs(ty - home_w[w_of, 1]) <= 1)
+    dup_ok = (r < total_dup) & ~in_core & present[w_of]
+    dup_src = jnp.where(dup_ok, w_idx[w_of], n)
     depth_ext = jnp.concatenate([depth, jnp.zeros((1,), depth.dtype)])
-    d16_w = (_depth16(depth_ext[w_idx]) >> (16 - db)).astype(jnp.int32)
-    packed_w = jnp.stack(
-        [off[:wide_cap], lo_w[:, 0], lo_w[:, 1],
-         jnp.maximum(span_w[:, 0], 1), home_w[:, 0], home_w[:, 1],
-         w_idx, d16_w], -1).astype(jnp.int32)        # (wide_cap, 8)
-    rw = packed_w[w_of]                              # ONE row gather
-    l = r - rw[:, 0]
-    tx = rw[:, 1] + l % rw[:, 3]
-    ty = rw[:, 2] + l // rw[:, 3]
-    in_core = (jnp.abs(tx - rw[:, 4]) <= 1) & (jnp.abs(ty - rw[:, 5]) <= 1)
-    dup_ok = (r < total_dup) & ~in_core & (rw[:, 6] < n)
-    dup_src = jnp.where(dup_ok, rw[:, 6], n)
-    key_dup = ((ty * tw + tx).astype(jnp.uint32) << (db + 4)) | jnp.where(
-        dup_ok, rw[:, 7], 0).astype(jnp.uint32)
+    key_dup = ((ty * tw + tx).astype(jnp.uint32) << (db + 4)) | (
+        _depth16(depth_ext[dup_src]) >> (16 - db))
     key_dup = jnp.where(dup_ok, key_dup, jnp.uint32(0xFFFFFFFF))
     # dup pids are offset by n (stream_reduce splits main/dup on this);
     # invalid slots get distinct sentinels past 2n
@@ -362,22 +346,24 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   else:
     key_all, pid_all = key, pid
   if build_table:
-    # sort ONLY (key, pid, source-row): the TPU sort is a multi-pass
-    # mergesort that moves EVERY payload column through every pass, so
-    # carrying the 7+F data columns costs ~100 ms at heavy sizes; the
-    # 3-operand sort + ONE post-sort (n_rows, 7+F) row gather rebuilds
-    # the same table (src = own row for main, dup_src for duplicates —
-    # invalid slots hit the zero row)
-    src_all = jnp.arange(n, dtype=jnp.int32)
     if dup_cap > 0:
-      src_all = jnp.concatenate([src_all, dup_src.astype(jnp.int32)])
-    s = jax.lax.sort((key_all, pid_all, src_all), num_keys=1)
+      g_ext = jnp.concatenate([gaussians,
+                               jnp.zeros((1, 7), gaussians.dtype)], 0)
+      f_ext = jnp.concatenate(
+          [features, jnp.zeros((1, f_size), features.dtype)],
+          0).astype(gaussians.dtype)
+      g_cols = tuple(jnp.concatenate([gaussians[:, c], g_ext[dup_src, c]])
+                     for c in range(7))
+      f_cols = tuple(jnp.concatenate(
+          [features.astype(gaussians.dtype)[:, c], f_ext[dup_src, c]])
+          for c in range(f_size))
+    else:
+      g_cols = tuple(gaussians[:, c] for c in range(7))
+      f_cols = tuple(features.astype(gaussians.dtype)[:, c]
+                     for c in range(f_size))
+    ops = (key_all, pid_all) + g_cols + f_cols
+    s = jax.lax.sort(ops, num_keys=1)
     skey = s[0]
-    gf = jnp.concatenate(
-        [gaussians, features.astype(gaussians.dtype)], 1)   # (n, 7+F)
-    gf_ext = jnp.concatenate(
-        [gf, jnp.zeros((1, 7 + f_size), gf.dtype)], 0)
-    rows_sorted = gf_ext[jnp.minimum(s[2], n)]              # row gather
     # The depth rank rides the float table BY VALUE, never by bitcast:
     # small ints bitcast to f32 DENORMALS, which the TPU flushes to zero
     # in XLA elementwise ops — a silent scramble (found by
@@ -394,8 +380,7 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
       return jnp.concatenate(
           [c, jnp.full((n_pad - n_rows,), fill, c.dtype)])
 
-    cols = [pad_col(rows_sorted[:, c], 0.0) for c in range(7 + f_size)]
-    cols = cols + [pad_col(key_col, pad_key)]
+    cols = [pad_col(c, 0.0) for c in s[2:]] + [pad_col(key_col, pad_key)]
     zero_col = jnp.zeros((n_pad,), gaussians.dtype)
     cols = cols + [zero_col] * (w_pad - w_row)
     # pack RPB rows per sublane row, row-major within the packed row
@@ -425,26 +410,15 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   else:
     thr = jnp.zeros((0,), jnp.uint32)
 
-  # all (home, ycls, xcls, cell) edges by COUNTING, not binary search: a
-  # searchsorted of the 16T*S edge keys into the sorted rows is ~23
-  # serial gather steps (measured ~1.1 s at heavy-scene sizes); instead
-  # each sorted row computes its flat cell id elementwise (hc from its
-  # key; depth cell = #thresholds <= d14), a scatter-add builds the
-  # histogram, and an exclusive cumsum turns counts into edges — the
-  # identical searchsorted(skey, q, "left") result (rows below edge
-  # (hc, c) are exactly the rows with flat cell id < hc * S + c).
-  k_tot = num_tiles * 16 * s_edges
-  d14_r = skey & jnp.uint32((1 << db) - 1)
-  hc_r = (skey >> db).astype(jnp.int32)
-  if s_edges > 1:
-    cell_r = (d14_r[:, None] >= thr[None, :]).sum(-1, dtype=jnp.int32)
-  else:
-    cell_r = jnp.zeros(skey.shape, jnp.int32)
-  f_cell = jnp.where(hc_r < num_tiles * 16,
-                     hc_r * s_edges + cell_r, k_tot)
-  cnt = jnp.zeros((k_tot,), jnp.int32).at[f_cell].add(1, mode="drop")
-  edges_all = jnp.concatenate(
-      [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
+  # one searchsorted over all (home, ycls, xcls, cell) edges; window
+  # (h, yc, xc, cell) is the CONSECUTIVE flat pair (monotone by key order)
+  hc = jnp.arange(num_tiles * 16, dtype=jnp.uint32)
+  base = (hc[:, None] << db)                        # (16T, 1)
+  bounds = jnp.concatenate([jnp.zeros((1,), jnp.uint32), thr])
+  q = (base | bounds[None, :]).reshape(-1)          # (16T*S,)
+  q = jnp.concatenate(
+      [q, jnp.asarray([jnp.uint32(num_tiles * 16) << db], jnp.uint32)])
+  edges_all = jnp.searchsorted(skey, q, side="left").astype(jnp.int32)
 
   # ---- per-group strip blocks + local edges -----------------------------
   gw = group_width
@@ -463,22 +437,16 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   strip_blk = jnp.where(band_ok, start_row // strip_cap, 0)
 
   # local edges per band: homes x0-1..x0+gw (out-of-range homes clamp to
-  # [0, tw]; tw = next band's start keeps the flat sequence monotone).
-  # Fetched as WHOLE-HOME ROWS of a (T+1, per_home) edge grid — ~50k row
-  # gathers instead of ~24M element gathers (element gathers run at
-  # ~9 ns/element on-chip; rows amortize that over per_home lanes).
+  # [0, tw]; tw = next band's start keeps the flat sequence monotone)
   per_home = 16 * s_edges
   hh = (gx[:, None, None] - 1
         + jnp.arange(tbl_homes + 1, dtype=jnp.int32)[None, None, :])
   hid = band[:, :, None] * tw + jnp.clip(hh, 0, tw)          # (G, 3, H+1)
-  hidc = jnp.clip(hid, 0, num_tiles)
-  edges_grid = jnp.concatenate(
-      [edges_all[:k_tot].reshape(num_tiles, per_home),
-       jnp.broadcast_to(edges_all[k_tot], (1, per_home))], 0)
-  evals = jnp.concatenate(
-      [edges_grid[hidc[:, :, :tbl_homes]].reshape(
-          n_groups, 3, tbl_homes * per_home),
-       edges_grid[hidc[:, :, -1], 0][:, :, None]], -1)
+  eidx = (hid[:, :, :tbl_homes] * per_home)[..., None] + jnp.arange(
+      per_home, dtype=jnp.int32)[None, None, None, :]
+  eidx = eidx.reshape(n_groups, 3, tbl_homes * per_home)
+  eidx = jnp.concatenate([eidx, hid[:, :, -1:] * per_home], -1)
+  evals = edges_all[jnp.clip(eidx, 0, edges_all.shape[0] - 1)]
   local = evals - (strip_blk * strip_cap)[:, :, None]
   local = jnp.where(band_ok[:, :, None], local, 0)
   local = jnp.clip(local, 0, 2 * strip_cap)
@@ -503,270 +471,207 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
   # per-window flat edge bases: (gw, n_w)
   scratch_stride = 2 * strip_cap + STRIP_SLACK
 
-  def desc_pipeline(local_c, gx_c):
-    """Window-descriptor pipeline for one chunk of groups.
+  cell_edges = []                                    # each (G, gw, S+1)
+  dsts0 = []
+  bks = []
+  hvalids = []
+  for (b, k, yc, xc) in wlist:
+    idx0 = ((i_t + k) * 16 + yc * 4 + xc) * s_edges  # (gw,)
+    sel = (idx0[:, None] + jnp.arange(
+        s_edges + 1, dtype=jnp.int32)[None, :]).reshape(-1)
+    # one 2D gather per window — a (G, gw, L) repeat of ``local`` would
+    # materialize G*gw*L i32 per window (16 GB of traffic at 32 slabs)
+    ce = jnp.take_along_axis(
+        local[:, b, :],
+        jnp.broadcast_to(sel[None, :], (n_groups, sel.shape[0])),
+        axis=1).reshape(n_groups, gw, s_edges + 1)
+    cell_edges.append(ce)                            # (G, gw, S+1)
+    run0 = jnp.take_along_axis(
+        local[:, b, :], ((i_t + k) * per_home)[None, :], axis=1)
+    dsts0.append((i_t + k)[None, :] * run_cap - run0)  # (G, gw) bias
+    bks.append(b * 3 + k)
+    hx = gx[:, None] + i_t[None, :] - 1 + k
+    hvalids.append((hx >= 0) & (hx < tw))
 
-    Everything from the per-window edge tables to the packed descriptors
-    runs per-group, so it is mapped over GROUP CHUNKS (jax.lax.map): the
-    ~25 (Gc, gw, S, n_w)-shaped intermediates then bound peak HBM at a
-    few hundred MB regardless of scene size (unchunked at heavy sizes
-    they are ~190 MB each after lane padding — a guaranteed OOM)."""
-    g_c = local_c.shape[0]
-    cell_edges = []                                    # each (G, gw, S+1)
-    dsts0 = []
-    bks = []
-    hvalids = []
-    # every window's edge span is a STATIC slice of the band-local edge
-    # table (k, yc, xc and the tile-in-group index are all compile-time):
-    # zero gathers.  The inclusive end edge of a cell run is the NEXT flat
-    # entry, which crosses class/home boundaries — a strided slice of the
-    # flat table supplies it.
-    l_home = local_c[:, :, :tbl_homes * per_home].reshape(
-        g_c, 3, tbl_homes, 16, s_edges)
-    for (b, k, yc, xc) in wlist:
-      c0 = yc * 4 + xc
-      ce_main = l_home[:, b, k:k + gw, c0, :]          # (G, gw, S)
-      end0 = k * per_home + c0 * s_edges + s_edges     # flat end, tile 0
-      last = local_c[:, b, end0:end0 + (gw - 1) * per_home + 1:per_home]
-      ce = jnp.concatenate([ce_main, last[:, :, None]], -1)
-      cell_edges.append(ce)                            # (G, gw, S+1)
-      run0 = l_home[:, b, k:k + gw, 0, 0]              # (G, gw)
-      dsts0.append((i_t + k)[None, :] * run_cap - run0)  # (G, gw) bias
-      bks.append(b * 3 + k)
-      hx = gx_c[:, None] + i_t[None, :] - 1 + k
-      hvalids.append((hx >= 0) & (hx < tw))
+  # counts per (tile, cell) for the greedy plan
+  counts = jnp.zeros((n_groups, gw, s_edges), jnp.int32)
+  for w in range(n_w):
+    ce = cell_edges[w]
+    counts = counts + jnp.where(
+        hvalids[w][:, :, None], ce[:, :, 1:] - ce[:, :, :-1], 0)
 
-    # counts per (tile, cell) for the greedy plan
-    counts = jnp.zeros((g_c, gw, s_edges), jnp.int32)
-    for w in range(n_w):
-      ce = cell_edges[w]
-      counts = counts + jnp.where(
-          hvalids[w][:, :, None], ce[:, :, 1:] - ce[:, :, :-1], 0)
+  # --- per-tile slab PLAN: greedy packing of adjacent depth cells --------
+  # The cut rule reserves rpb*16 rows of the cap for window-quantization
+  # padding (~16 merged windows per single-cell... per slab).  The TRUE
+  # padding is rpb x (post-merge window count), which the greedy cannot
+  # know (windows merge across classes AND cells only once the packing
+  # is fixed); a per-cell window-count allowance overcounts so badly it
+  # splits tiles that would fit — and a split slab covers a single depth
+  # cell whose class windows can no longer merge (cells are the sort
+  # key's innermost field), roughly doubling both slab and window counts
+  # (measured fwd 75 -> 186 ms).  When the reserve underestimates,
+  # calibration's validation pass sees the exact quantized overflow and
+  # escalates num_slabs, then slab_cap.
+  pad_reserve = rpb * 16
 
-    # --- per-tile slab PLAN: greedy packing of adjacent depth cells --------
-    # The cut rule reserves rpb*16 rows of the cap for window-quantization
-    # padding (~16 merged windows per single-cell... per slab).  The TRUE
-    # padding is rpb x (post-merge window count), which the greedy cannot
-    # know (windows merge across classes AND cells only once the packing
-    # is fixed); a per-cell window-count allowance overcounts so badly it
-    # splits tiles that would fit — and a split slab covers a single depth
-    # cell whose class windows can no longer merge (cells are the sort
-    # key's innermost field), roughly doubling both slab and window counts
-    # (measured fwd 75 -> 186 ms).  When the reserve underestimates,
-    # calibration's validation pass sees the exact quantized overflow and
-    # escalates num_slabs, then slab_cap.
-    pad_reserve = rpb * 16
+  def greedy(cnt_cells):
+    load = lambda cell: cnt_cells[cell]
+    acc = load(0)
+    cuts = []
+    for cell in range(1, s_edges):
+      cut = acc + load(cell) > slab_cap - pad_reserve
+      cuts.append(cut)
+      acc = jnp.where(cut, load(cell), acc + load(cell))
+    bounds_l = [jnp.int32(0)]
+    for cell in range(1, s_edges):
+      bounds_l.append(jnp.where(cuts[cell - 1], cell, 0))
+    bvec = jnp.stack(bounds_l)
+    order = jnp.argsort(jnp.where(bvec > 0, bvec, jnp.int32(10 ** 6)))
+    compacted = jnp.where(bvec[order] > 0, bvec[order], s_edges)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), compacted[:s_edges - 1],
+         jnp.full((1,), s_edges, jnp.int32)])
 
-    def greedy(cnt_cells):
-      load = lambda cell: cnt_cells[cell]
-      acc = load(0)
-      cuts = []
-      for cell in range(1, s_edges):
-        cut = acc + load(cell) > slab_cap - pad_reserve
-        cuts.append(cut)
-        acc = jnp.where(cut, load(cell), acc + load(cell))
-      bounds_l = [jnp.int32(0)]
-      for cell in range(1, s_edges):
-        bounds_l.append(jnp.where(cuts[cell - 1], cell, 0))
-      bvec = jnp.stack(bounds_l)
-      order = jnp.argsort(jnp.where(bvec > 0, bvec, jnp.int32(10 ** 6)))
-      compacted = jnp.where(bvec[order] > 0, bvec[order], s_edges)
-      return jnp.concatenate(
-          [jnp.zeros((1,), jnp.int32), compacted[:s_edges - 1],
-           jnp.full((1,), s_edges, jnp.int32)])
+  plan = jax.vmap(greedy)(counts.reshape(-1, s_edges))
+  plan = plan.reshape(n_groups, gw, s_edges + 1)     # (G, gw, S+1)
 
-    plan = jax.vmap(greedy)(counts.reshape(-1, s_edges))
-    plan = plan.reshape(g_c, gw, s_edges + 1)     # (G, gw, S+1)
+  # ---- window descriptors per (tile, slab): [lo_flat, len, dst, bk] -----
+  lo_all = jnp.stack([ce for ce in cell_edges], 2)   # (G, gw, n_w, S+1)
+  p_lo = plan[:, :, None, :s_edges]                  # (G, gw, 1, S)
+  p_hi = plan[:, :, None, 1:]
+  w_lo = jnp.take_along_axis(lo_all, p_lo, axis=3)   # (G, gw, n_w, S)
+  w_hi = jnp.take_along_axis(lo_all, p_hi, axis=3)
+  w_len = jnp.maximum(w_hi - w_lo, 0)
+  hv = jnp.stack(hvalids, 2)[:, :, :, None]          # (G, gw, n_w, 1)
+  w_len = jnp.where(hv, w_len, 0)
 
-    # ---- window descriptors per (tile, slab): [lo_flat, len, dst, bk] -----
-    # plan-cell selection rides the MXU as an exact one-hot contraction
-    # (edge values < 2^15 are exact under HIGHEST precision); take_along_axis
-    # on the minor axis is an element gather (~270 ms at heavy sizes).
-    lo_all = jnp.stack([ce for ce in cell_edges], 2)   # (G, gw, n_w, S+1)
-    cells1 = jnp.arange(s_edges + 1, dtype=jnp.int32)
-    lo_f = lo_all.astype(jnp.float32)
+  # backward slab-buffer destination
+  dst_bias = jnp.stack(dsts0, 2)[:, :, :, None]      # (G, gw, n_w, 1)
+  w_dst = w_lo + dst_bias
 
-    def sel_plan(p):                                   # p: (G, gw, S)
-      oh = (p[..., None] == cells1).astype(jnp.float32)  # (G, gw, S, S+1)
-      return jax.lax.dot_general(
-          lo_f, oh, (((3,), (3,)), ((0, 1), (0, 1))),
-          precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+  # flatten band into the lo so the kernel needs no band index
+  b_of = jnp.asarray([b for (b, _, _, _) in wlist], jnp.int32)
+  w_lof = w_lo + (b_of * scratch_stride)[None, None, :, None]
 
-    w_lo = sel_plan(plan[:, :, :s_edges])              # (G, gw, n_w, S)
-    w_hi = sel_plan(plan[:, :, 1:])
-    w_len = jnp.maximum(w_hi - w_lo, 0)
-    hv = jnp.stack(hvalids, 2)[:, :, :, None]          # (G, gw, n_w, 1)
-    w_len = jnp.where(hv, w_len, 0)
+  move = jnp.moveaxis  # (G, gw, n_w, S) -> (G, gw, S, n_w)
+  w_lof = move(w_lof, 3, 2)
+  w_len_m = move(w_len, 3, 2)
+  w_dst = move(w_dst, 3, 2)
 
-    # backward slab-buffer destination
-    dst_bias = jnp.stack(dsts0, 2)[:, :, :, None]      # (G, gw, n_w, 1)
-    w_dst = w_lo + dst_bias
-
-    # flatten band into the lo so the kernel needs no band index
-    b_of = jnp.asarray([b for (b, _, _, _) in wlist], jnp.int32)
-    w_lof = w_lo + (b_of * scratch_stride)[None, None, :, None]
-
-    move = jnp.moveaxis  # (G, gw, n_w, S) -> (G, gw, S, n_w)
-    w_lof = move(w_lof, 3, 2)
-    w_len_m = move(w_len, 3, 2)
-    w_dst = move(w_dst, 3, 2)
-
-    # ---- merge adjacent windows -------------------------------------------
-    # wlist enumerates each (b, k)'s class windows in KEY order (yc, xc asc),
-    # so consecutive windows of the same (b, k) whose strip intervals abut
-    # (nothing of an unfetched class/cell in between — always true for
-    # single-slab tiles) are ONE contiguous copy.  dst = lo + bias with a
-    # per-(b, k) bias, so gbuf destinations stay contiguous across a merge.
-    # Emission is positional: slot w holds the chain that ended there (or
-    # len 0); the compaction below squeezes the zeros out.
-    #
-    # Vectorized as a SEGMENTED PREFIX along the window axis.  A chain's
-    # running end equals the previous window's lo + len (inductively), so
-    # continuation is the PAIRWISE test cont[w] = lo[w] == lo[w-1] +
-    # len[w-1] (same (b, k) only) — no sequential carry.  The former
-    # 64-step where-chain materialized 3 x 64 (G, gw, S, 1) buffers,
-    # lane-padded 128x (~192 MB apiece): an instant HBM OOM at heavy sizes.
-    same_bk = jnp.asarray(
-        [w > 0 and bks[w] == bks[w - 1] for w in range(n_w)], bool)
-    prev = lambda a: jnp.pad(a[..., :-1], ((0, 0),) * 3 + ((1, 0),))
-    cont = (same_bk[None, None, None, :]
-            & (w_lof == prev(w_lof) + prev(w_len_m)))   # (G, gw, S, n_w)
-    tri_in = jnp.triu(jnp.ones((n_w, n_w), jnp.float32), 0)
-    pref_in = jax.lax.dot_general(                      # inclusive len prefix
-        w_len_m.astype(jnp.float32), tri_in, (((3,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    pref_ex = pref_in - w_len_m
-    # prefix value at the chain's start: boundaries carry pref_ex, log-step
-    # max propagation fills forward (pref is nondecreasing, so the max IS
-    # the latest boundary's value)
-    seg_base = jnp.where(cont, jnp.int32(-1), pref_ex)
-    d = 1
-    while d < n_w:
-      shifted = jnp.pad(seg_base[..., :-d], ((0, 0),) * 3 + ((d, 0),),
-                        constant_values=-1)
-      seg_base = jnp.maximum(seg_base, shifted)
-      d *= 2
-    rel = pref_ex - seg_base                            # offset within chain
-    ended = jnp.concatenate(
-        [~cont[..., 1:],
-         jnp.ones(cont.shape[:3] + (1,), bool)], -1)
-    e_k = [wlist[w][1] for w in range(n_w)]
-    w_lof_m = jnp.where(ended, w_lof - rel, 0)
-    w_dst = jnp.where(ended, w_dst - rel, 0)
-    w_len_m = jnp.where(ended, pref_in - seg_base, 0)
-    w_lof = w_lof_m
-
-    # run_cap clamp (post-merge; overflow-counted)
-    run_hi = ((jnp.asarray(e_k, jnp.int32)[None, None, None, :]
-               + i_t[None, :, None, None] + 1) * run_cap)
-    len_run = jnp.clip(run_hi - w_dst, 0, None)
-    run_over = jnp.maximum(w_len_m - len_run, 0).sum(dtype=jnp.int32)
-    w_len_m = jnp.minimum(w_len_m, len_run)
-
-    # ---- chunk long windows -------------------------------------------------
-    # The kernels' largest tiered copy is STRIP_SLACK rows, so a merged
-    # window longer than WINDOW_CHUNK SPLITS into ceil(len / WINDOW_CHUNK)
-    # adjacent descriptors of <= WINDOW_CHUNK rows each.  WINDOW_CHUNK =
-    # STRIP_SLACK - rpb is rpb-aligned: every chunk keeps the window's head
-    # phase lo % rpb, so each quantized copy (head + len rounded up to whole
-    # packed rows) fits the largest fetch tier exactly.  Chunks stay adjacent
-    # in slot order (depth rank ties unchanged) and contiguous in both strip
-    # rows and gbuf rows (dst advances with lo).  Applied IDENTICALLY in both
-    # build_table modes — the r4 heavy-scene failure was a build-only clamp
-    # here that calibration could not observe.  cf is bounded by slab_cap:
-    # window rows past the slab capacity are slab overflow by definition
-    # (clamped + counted below; the cursor accounting then sees the rest).
-    # Calibration's unbounded-cap passes (slab_cap > the 2048 rank-key
-    # limit, build_table=False only) skip chunking so raw row statistics
-    # stay exact — those descriptors are never fetched.
-    chunk = STRIP_SLACK - rpb
-    if slab_cap <= 2048:
-      cf = max(1, -(-slab_cap // chunk))
-      chunk_over = jnp.maximum(w_len_m - cf * chunk, 0).sum(dtype=jnp.int32)
-      w_len_m = jnp.minimum(w_len_m, cf * chunk)
-      pieces = -(-w_len_m // chunk)        # ceil; 0 for empty slots
+  # ---- merge adjacent windows -------------------------------------------
+  # wlist enumerates each (b, k)'s class windows in KEY order (yc, xc asc),
+  # so consecutive windows of the same (b, k) whose strip intervals abut
+  # (nothing of an unfetched class/cell in between — always true for
+  # single-slab tiles) are ONE contiguous copy.  dst = lo + bias with a
+  # per-(b, k) bias, so gbuf destinations stay contiguous across a merge.
+  # Emission is positional: slot w-1 holds the chain that ended there (or
+  # len 0); the compaction below squeezes the zeros out.
+  lo_sl = [w_lof[..., w] for w in range(n_w)]
+  len_sl = [w_len_m[..., w] for w in range(n_w)]
+  dst_sl = [w_dst[..., w] for w in range(n_w)]
+  e_lo, e_len, e_dst, e_k = [], [], [], []
+  cur_lo, cur_len, cur_dst = lo_sl[0], len_sl[0], dst_sl[0]
+  for w in range(1, n_w):
+    if bks[w] == bks[w - 1]:
+      cont = lo_sl[w] == cur_lo + cur_len
     else:
-      cf = 1
-      chunk_over = jnp.int32(0)
-      pieces = (w_len_m > 0).astype(jnp.int32)
+      cont = jnp.zeros(cur_lo.shape, bool)
+    e_lo.append(jnp.where(cont, 0, cur_lo))
+    e_len.append(jnp.where(cont, 0, cur_len))
+    e_dst.append(jnp.where(cont, 0, cur_dst))
+    e_k.append(wlist[w - 1][1])
+    cur_lo = jnp.where(cont, cur_lo, lo_sl[w])
+    cur_len = jnp.where(cont, cur_len + len_sl[w], len_sl[w])
+    cur_dst = jnp.where(cont, cur_dst, dst_sl[w])
+  e_lo.append(cur_lo)
+  e_len.append(cur_len)
+  e_dst.append(cur_dst)
+  e_k.append(wlist[n_w - 1][1])
+  w_lof = jnp.stack(e_lo, -1)                        # (G, gw, S, n_w)
+  w_len_m = jnp.stack(e_len, -1)
+  w_dst = jnp.stack(e_dst, -1)
+  bk_of = jnp.broadcast_to(
+      jnp.asarray(bks, jnp.int32)[None, None, None, :], w_len_m.shape)
 
-    # ---- chunk + compact by rank intervals ----------------------------------
-    # Compacted descriptor slot o < w_max holds the (window, piece) pair at
-    # rank o of the slot-major piece-minor enumeration of nonempty chunk
-    # pieces: window k owns the contiguous rank interval
-    # [cum_ex[k], cum_in[k]).  The n_w = 64 window slots are STATIC, so a
-    # fully-fused unrolled select-accumulate over k fills every (slab, o)
-    # cell in one elementwise pass — no searchsorted (a vmapped binary
-    # search measured 3.5 s at heavy sizes), no minor-axis gathers (~270 ms
-    # each), and the empty pieces occupy no rank, preserving the exact
-    # descriptor ordering of the former expanded-slot compaction.
-    # inclusive prefix over the static n_w axis as an exact triangular
-    # matmul (see cur_q below: reduce_window cumsum fusions OOM scoped VMEM)
-    cum_in = jax.lax.dot_general(
-        pieces.astype(jnp.float32),
-        jnp.triu(jnp.ones((n_w, n_w), jnp.float32), 0),
-        (((3,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    cum_ex = cum_in - pieces                           # (G, gw, S, n_w)
-    shape_w = (g_c, gw, s_edges, w_max)
-    ob = jnp.arange(w_max, dtype=jnp.int32)[None, None, None, :]
-    d_lo = jnp.zeros(shape_w, jnp.int32)
-    d_len = jnp.zeros(shape_w, jnp.int32)
-    d_dst = jnp.zeros(shape_w, jnp.int32)
-    d_bk = jnp.zeros(shape_w, jnp.int32)
-    for k in range(n_w):
-      ce_k = cum_ex[..., k:k + 1]
-      l_k = (ce_k <= ob) & (ob < cum_in[..., k:k + 1])
-      step = (ob - ce_k) * chunk                       # piece offset (rows)
-      d_len = jnp.where(
-          l_k, jnp.clip(w_len_m[..., k:k + 1] - step, 0, chunk), d_len)
-      d_lo = jnp.where(l_k, w_lof[..., k:k + 1] + step, d_lo)
-      d_dst = jnp.where(l_k, w_dst[..., k:k + 1] + step, d_dst)
-      d_bk = jnp.where(l_k, bks[k], d_bk)
-    # rows in pieces ranked past w_max (identical count to the expanded
-    # form's beyond-w_max compaction tail)
-    win_over = w_len_m.sum(dtype=jnp.int32) - d_len.sum(dtype=jnp.int32)
+  # run_cap clamp (post-merge; overflow-counted)
+  run_hi = ((jnp.asarray(e_k, jnp.int32)[None, None, None, :]
+             + i_t[None, :, None, None] + 1) * run_cap)
+  len_run = jnp.clip(run_hi - w_dst, 0, None)
+  run_over = jnp.maximum(w_len_m - len_run, 0).sum(dtype=jnp.int32)
+  w_len_m = jnp.minimum(w_len_m, len_run)
 
-    desc = jnp.stack([d_lo, d_len, d_dst, d_bk], -1)   # (G, gw, S, W, 4)
-    desc = desc.reshape(g_c, 1, gw * s_edges * w_max * 4)
-
-    # quantized slab accounting: each window occupies
-    # ceil((lo % rpb + len) / rpb) * rpb assembly rows (the kernels copy
-    # whole packed sublane rows); rows past slab_cap are clamped there —
-    # count them here with the same cursor arithmetic (unclamped cursors,
-    # so cascaded drops overcount conservatively, never under)
-    head_q = d_lo % rpb
-    len_q = jnp.where(d_len > 0,
-                      ((head_q + d_len + rpb - 1) // rpb) * rpb, 0)
-    # exclusive prefix over the static w_max axis as an EXACT triangular
-    # matmul (values < 2^24, one-hot-grade operand): jnp.cumsum lowers to a
-    # reduce_window whose fused producers blow the scoped-VMEM limit at
-    # heavy sizes (s32[1536,8,32,57] fusion, 22.8 MB scoped > 16 MB)
-    tri_ex = jnp.triu(jnp.ones((w_max, w_max), jnp.float32), 1)
-    cur_q = jax.lax.dot_general(
-        len_q.astype(jnp.float32), tri_ex, (((3,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    avail_q = jnp.clip(slab_cap - (cur_q + head_q), 0, None)
-    slab_over = jnp.maximum(d_len - avail_q, 0).sum(dtype=jnp.int32)
-    return (desc.reshape(g_c, 1, gw * s_edges * w_max * 4),
-            jnp.stack([run_over, chunk_over, win_over, slab_over]))
-
-  gchunk = n_groups
-  for cand in range(min(128, n_groups), 0, -1):
-    if n_groups % cand == 0:
-      gchunk = cand
-      break
-  if gchunk < n_groups:
-    desc, overs = jax.lax.map(
-        lambda a: desc_pipeline(*a),
-        (local.reshape(n_groups // gchunk, gchunk, 3, local.shape[-1]),
-         gx.reshape(n_groups // gchunk, gchunk)))
-    desc = desc.reshape(n_groups, 1, gw * s_edges * w_max * 4)
-    overs = overs.sum(0, dtype=jnp.int32)
+  # ---- chunk long windows -------------------------------------------------
+  # The kernels' largest tiered copy is STRIP_SLACK rows, so a merged
+  # window longer than WINDOW_CHUNK SPLITS into ceil(len / WINDOW_CHUNK)
+  # adjacent descriptors of <= WINDOW_CHUNK rows each.  WINDOW_CHUNK =
+  # STRIP_SLACK - rpb is rpb-aligned: every chunk keeps the window's head
+  # phase lo % rpb, so each quantized copy (head + len rounded up to whole
+  # packed rows) fits the largest fetch tier exactly.  Chunks stay adjacent
+  # in slot order (depth rank ties unchanged) and contiguous in both strip
+  # rows and gbuf rows (dst advances with lo).  Applied IDENTICALLY in both
+  # build_table modes — the r4 heavy-scene failure was a build-only clamp
+  # here that calibration could not observe.  cf is bounded by slab_cap:
+  # window rows past the slab capacity are slab overflow by definition
+  # (clamped + counted below; the cursor accounting then sees the rest).
+  # Calibration's unbounded-cap passes (slab_cap > the 2048 rank-key
+  # limit, build_table=False only) skip chunking so raw row statistics
+  # stay exact — those descriptors are never fetched.
+  chunk = STRIP_SLACK - rpb
+  if slab_cap <= 2048:
+    cf = max(1, -(-slab_cap // chunk))
+    chunk_over = jnp.maximum(w_len_m - cf * chunk, 0).sum(dtype=jnp.int32)
+    w_len_m = jnp.minimum(w_len_m, cf * chunk)
+    pieces = -(-w_len_m // chunk)        # ceil; 0 for empty slots
   else:
-    desc, overs = desc_pipeline(local, gx)
-  run_over, chunk_over, win_over, slab_over = (
-      overs[0], overs[1], overs[2], overs[3])
+    cf = 1
+    chunk_over = jnp.int32(0)
+    pieces = (w_len_m > 0).astype(jnp.int32)
+
+  # ---- chunk + compact in ONE searchsorted pass ---------------------------
+  # Compacted descriptor slot o < w_max holds the (window, piece) pair at
+  # rank o of the slot-major piece-minor enumeration of nonempty chunk
+  # pieces: a searchsorted over the per-slab inclusive piece cumsum.  The
+  # former cf-EXPANDED slot domain (n_w * cf slots per slab — ~100M at the
+  # heavy scene's 32 slabs x cf 4) with its stable argsort compaction and
+  # four trailing w_max gathers dominated the r4 heavy map's 598 ms; this
+  # pass touches only n_w + w_max slots per slab and emits the IDENTICAL
+  # descriptor ordering (empty pieces occupy no rank).
+  cum_in = jnp.cumsum(pieces, axis=3)                # inclusive (G,gw,S,nw)
+  b_rows = n_groups * gw * s_edges
+  o = jnp.arange(w_max, dtype=jnp.int32)
+  widx = jax.vmap(
+      lambda c: jnp.searchsorted(c, o, side="right").astype(jnp.int32))(
+          cum_in.reshape(b_rows, n_w))               # (B, w_max)
+  in_rng = widx < n_w
+  wc = jnp.where(in_rng, widx, n_w - 1)
+  gat = lambda a: jnp.take_along_axis(a.reshape(b_rows, n_w), wc, axis=1)
+  step = (o[None, :] - gat(cum_in - pieces)) * chunk  # piece offset (rows)
+  d_len = jnp.where(in_rng, jnp.clip(gat(w_len_m) - step, 0, chunk), 0)
+  live_slot = d_len > 0
+  d_lo = jnp.where(live_slot, gat(w_lof) + step, 0)
+  d_dst = jnp.where(live_slot, gat(w_dst) + step, 0)
+  d_bk = jnp.where(live_slot, gat(bk_of), 0)
+  # rows in pieces ranked past w_max (identical count to the expanded
+  # form's beyond-w_max compaction tail)
+  win_over = w_len_m.sum(dtype=jnp.int32) - d_len.sum(dtype=jnp.int32)
+  shape_w = (n_groups, gw, s_edges, w_max)
+  d_lo, d_len, d_dst, d_bk = (a.reshape(shape_w)
+                              for a in (d_lo, d_len, d_dst, d_bk))
+
+  desc = jnp.stack([d_lo, d_len, d_dst, d_bk], -1)   # (G, gw, S, W, 4)
+  desc = desc.reshape(n_groups, 1, gw * s_edges * w_max * 4)
+
+  # quantized slab accounting: each window occupies
+  # ceil((lo % rpb + len) / rpb) * rpb assembly rows (the kernels copy
+  # whole packed sublane rows); rows past slab_cap are clamped there —
+  # count them here with the same cursor arithmetic (unclamped cursors,
+  # so cascaded drops overcount conservatively, never under)
+  head_q = d_lo % rpb
+  len_q = jnp.where(d_len > 0,
+                    ((head_q + d_len + rpb - 1) // rpb) * rpb, 0)
+  cur_q = jnp.cumsum(len_q, -1) - len_q              # exclusive
+  avail_q = jnp.clip(slab_cap - (cur_q + head_q), 0, None)
+  slab_over = jnp.maximum(d_len - avail_q, 0).sum(dtype=jnp.int32)
   overflow = jnp.stack([num_far, strip_over.sum(dtype=jnp.int32),
                         slab_over + chunk_over, run_over, win_over])
 
@@ -784,32 +689,26 @@ def stream_map(gaussians: jnp.ndarray, depth: jnp.ndarray,
     pos = jnp.arange(n_rows, dtype=jnp.int32)
     skey_r = skey[:n_rows]
     home_j = (skey_r >> jnp.uint32(db + 4)).astype(jnp.int32)
-    # run start of every sorted row: runs partition the sorted order, so
-    # scattering each start at its own position + a cummax fill yields
-    # run_starts[home(j)] for every valid row — one 12k scatter and one
-    # scan instead of an n_rows-sized gather (~9 ns/element on chip)
-    rs_row = jax.lax.cummax(
-        jnp.zeros((n_rows,), jnp.int32).at[run_starts].max(
-            run_starts, mode="drop"))
-    row_off = pos - rs_row
-    ok_row = ((skey_r != jnp.uint32(0xFFFFFFFF)) & (row_off < run_cap)
-              & (home_j < num_tiles))
-    gout_row = jnp.where(
-        ok_row, jnp.clip(home_j, 0, num_tiles - 1) * run_cap + row_off,
-        r_rows)
+    home_c = jnp.clip(home_j, 0, num_tiles - 1)
+    row_off = pos - run_starts[home_c]
+    ok_row = ((skey_r != jnp.uint32(0xFFFFFFFF)) & (row_off >= 0)
+              & (row_off < run_cap) & (home_j < num_tiles))
+    gout_row = jnp.where(ok_row, home_c * run_cap + row_off, r_rows)
     pid_sorted = s[1].astype(jnp.int32)
-    # invert the pid permutation by SORTING (pid, gout_row): main pids
-    # 0..n-1 appear exactly once -> the first n rows ARE grad_src; dup
-    # pids [n, 2n) and the per-slot sentinels >= 2n fill the tail, so the
-    # dup compaction comes out of the same sort (an n_rows-sized scatter
-    # + nonzero measured ~120 ms at heavy sizes; the sort is ~17 ms)
-    s2k, s2v = jax.lax.sort((pid_sorted, gout_row), num_keys=1)
-    grad_src = s2v[:n]
+    is_main = pid_sorted < n
+    grad_src = jnp.full((n + 1,), r_rows, jnp.int32).at[
+        jnp.where(is_main, pid_sorted, n)].set(gout_row)[:n]
     if dup_cap > 0:
-      tail_pid = s2k[n:]
-      dup_ok_t = tail_pid < 2 * n
-      dup_pid = jnp.where(dup_ok_t, tail_pid - n, n).astype(jnp.int32)
-      dup_src = jnp.where(dup_ok_t, s2v[n:], r_rows).astype(jnp.int32)
+      gout_row_ext = jnp.concatenate(
+          [gout_row, jnp.full((1,), r_rows, jnp.int32)])
+      pid_ext = jnp.concatenate(
+          [pid_sorted, jnp.full((1,), 2 * n, jnp.int32)])
+      (dpos,) = jnp.nonzero((pid_sorted >= n) & (pid_sorted < 2 * n),
+                            size=dup_cap, fill_value=n_rows)
+      dpos = dpos.astype(jnp.int32)
+      dup_src = gout_row_ext[dpos]
+      dup_pid = jnp.where(dpos < n_rows, pid_ext[dpos] - n, n).astype(
+          jnp.int32)
     else:
       dup_src = dup_pid = zero_i
   else:

@@ -165,16 +165,18 @@ def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
   (parallel/stream_sharded.py) after its all_gather.
 
   Two implementations, chosen by the run-padding ratio (measured v5e
-  costs: XLA sort ~2.6 ms/M rows with payload width nearly free; XLA
-  gather/scatter ~1 element/CYCLE, so per-column gathers cost
-  ~1.1 ms/M/column x slabw columns):
+  costs in ns/row: XLA sort ~2.6 with payload width nearly free; ROW
+  gathers ~9 regardless of width — per-ELEMENT gathers also pay ~9/elem,
+  slabw times more, so the gather path first relayouts the columns into
+  one (R, slabw) matrix and moves whole rows):
 
   * compact R: one R-sized stable compaction sort (drop run padding) +
     one N-sized pid sort carrying all columns as payload — wins when R
-    is within a few x of N (uniform scenes: ~9 ms vs ~39 ms of gathers).
+    is within a few x of N (uniform scenes).
   * huge R (long-run scenes, run_cap in the thousands -> R ~ 25 x N):
-    per-column gathers over the map-time ``grad_src`` indices touch
-    exactly n + dup_cap rows where the sorts would pay >100 ms.
+    one row gather over the map-time ``grad_src`` indices + one dup row
+    gather/scatter-add touch n + 2 * dup_cap rows where the sorts would
+    pay hundreds of ms.
   """
   n = mapping.num_points
   n_rows = n + mapping.dup_cap
@@ -183,7 +185,8 @@ def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
       "mapping was built with build_table=False (calibration only)")
   slabw = len(acc_cols)
   sort_cost = (r_rows + n_rows) * 2.6
-  gather_cost = (n_rows * slabw + (2.0 * mapping.dup_cap * slabw)) * 1.1
+  gather_cost = (r_rows * 0.1 + (n + mapping.dup_cap) * 9.0
+                 + mapping.dup_cap * 14.0)
   if sort_cost <= gather_cost:
     # --- compact away run padding (stable sort by is-padding) ----------
     row = jnp.arange(r_rows, dtype=jnp.int32)
@@ -217,18 +220,21 @@ def reduce_stage2(acc_cols, mapping: StreamMapping, run_cap: int):
               for c, d in zip(cols, s2[1:])]
     return cols
 
-  with_dup = mapping.dup_cap > 0
-
-  def col(c):
-    c_ext = jnp.concatenate([c, jnp.zeros((1,), c.dtype)])  # [r_rows] = 0
-    v = c_ext[mapping.grad_src]
-    if with_dup:
-      dv = c_ext[mapping.dup_src]
-      # unused dup slots carry dup_pid == N (out of bounds -> dropped)
-      v = v.at[mapping.dup_pid].add(dv, mode="drop")
-    return v
-
-  return [col(c) for c in acc_cols]
+  # gather path: ONE (R, slabw) lane-major relayout, then ROW
+  # gathers/scatters — per-column element gathers pay the ~9 ns/element
+  # issue cost slabw times over (a whole row costs the same as one
+  # element), so this is ~slabw x cheaper at heavy-scene sizes
+  n = mapping.num_points
+  slabw = len(acc_cols)
+  mat = jnp.stack(acc_cols, -1)                          # (R, slabw)
+  mat_ext = jnp.concatenate(
+      [mat, jnp.zeros((1, slabw), mat.dtype)], 0)        # [r_rows] = 0
+  v = mat_ext[mapping.grad_src]                          # (n, slabw)
+  if mapping.dup_cap > 0:
+    dv = mat_ext[mapping.dup_src]
+    # unused dup slots carry dup_pid == N (out of bounds -> dropped)
+    v = v.at[mapping.dup_pid].add(dv, mode="drop")
+  return [v[:, c] for c in range(slabw)]
 
 
 def detile(image_tiled: jnp.ndarray, tiles_wide: int, tiles_high: int,

@@ -48,8 +48,16 @@ def benchmarked(name: str, f: Callable, args, iters: int = 50,
         return a + (eps != 0).astype(a.dtype)
 
       out = f(*jax.tree.map(perturb, run_args))
-      leaf = jax.tree.leaves(out)[0]
-      return leaf.reshape(-1)[0].astype(jnp.float32), None
+      # force EVERY output leaf with a full reduce: forcing only one
+      # element lets XLA dead-code-eliminate every computation that does
+      # not feed it (a StreamMapping's first leaf is the table — profile
+      # runs were silently dropping the whole descriptor/edges path).
+      # The reduces cost ~1 ms/GB of output, negligible vs what they keep.
+      acc = jnp.float32(0.0)
+      for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+          acc = acc + jnp.sum(leaf, dtype=jnp.float32)
+      return acc, None
 
     carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n_iters)
     return carry
